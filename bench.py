@@ -1,0 +1,78 @@
+"""Flagship benchmark: pairwise interactions/sec on one chip.
+
+Workload (BASELINE.json config 3 scale): N=65,536 softened direct-sum
+gravity + semi-implicit Euler, the reference's method-C numerics
+(eps2=1e-6, compensate=0.1, dt=0.008). Reported metric is directed pair
+interactions per second (N^2 per step); ``vs_baseline`` is relative to the
+reference's derived RTX 4090 throughput of 2.6e11 directed interactions/s
+(BASELINE.md).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--solver", type=str, default="auto")
+    args = ap.parse_args()
+
+    import jax
+
+    from n_body_problem_tpu import SimConfig, Simulation, models
+
+    backend = jax.default_backend()
+    cfg = SimConfig(solver=args.solver)
+    state = models.plummer(args.n, seed=0)
+    sim = Simulation(cfg, state)
+    n_padded = sim.state.n
+
+    print(f"bench: backend={backend} n={args.n} padded={n_padded} "
+          f"solver={cfg.solver}", file=sys.stderr)
+
+    import numpy as np
+
+    def sync() -> float:
+        # The sandbox TPU relay's block_until_ready is a no-op; a host fetch
+        # of a device scalar is the only reliable execution barrier.
+        return float(np.asarray(sim.state.pos[0, 0]))
+
+    # Warm up with the SAME step count: scan length is a static jit arg, so a
+    # different count would push the compile into the timed region.
+    for _ in range(max(args.warmup, 1)):
+        sim.run(args.steps)
+        sync()
+    t0 = time.perf_counter()
+    sim.run(args.steps)
+    sync()
+    dt = time.perf_counter() - t0
+
+    ms_per_step = dt / args.steps * 1e3
+    pairs_per_sec = (n_padded * n_padded) * args.steps / dt
+    baseline = 2.6e11  # RTX 4090 derived directed interactions/s (BASELINE.md)
+    print(f"bench: {ms_per_step:.3f} ms/step, {pairs_per_sec:.3e} pairs/s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "pairwise interactions/sec/chip at N=65k",
+        "value": pairs_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": pairs_per_sec / baseline,
+        "ms_per_step": ms_per_step,
+        "n": args.n,
+        "n_padded": n_padded,
+        "solver": cfg.solver,
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()

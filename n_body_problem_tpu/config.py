@@ -1,0 +1,106 @@
+"""Simulation configuration.
+
+The reference hardcodes every knob as a compile-time ``#define``
+(``kernel.cu:62-73``: G=1, TIME_TICK=0.008, BLOCK_SIZE=256, EPSILON=1e-6,
+VERSION selecting the solver). Here the same knobs live in a single frozen
+dataclass that is hashable (usable as a ``jax.jit`` static argument) and can
+be loaded from JSON/TOML or overridden from the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any
+
+SOLVERS = (
+    "auto",        # pallas on TPU, mxu elsewhere
+    "direct",      # one-shot jnp O(N^2); the serial ground truth (kernel.cu:891-923 role)
+    "blocked",     # lax.map over row blocks; memory-safe pure-XLA O(N^2)
+    "mxu",         # matmul formulation: Gram-matrix r^2 + W@P accumulation on the MXU
+    "pallas",      # Pallas blocked all-pairs kernel (kernel.cu:828-884 role, TPU-native)
+    "pallas_symmetric",  # Pallas half-pair symmetric kernel (the report's method, kernel.cu:703-774 role)
+)
+
+INTEGRATORS = (
+    "semi_implicit_euler",  # v += a*dt; x += v*dt  (kernel.cu:777-801)
+    "leapfrog",             # KDK leapfrog (dev-history capability, project_develop_code.cu:831-859)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """All physics + execution knobs for a simulation.
+
+    Numerical defaults reproduce the reference's method C
+    (``cal_single_acclerate_without_mass_new``, ``kernel.cu:665-692``):
+    pair separation is scaled by ``compensate`` = 0.1 before squaring and the
+    raw ``eps2`` = 1e-6 is added to the *scaled* square distance, which is
+    algebraically a Plummer softening with effective eps'^2 = eps2/compensate^2
+    = 1e-4 while keeping fp32 intermediates well-scaled.
+    """
+
+    # --- physics (kernel.cu:62-66) ---
+    dt: float = 0.008          # TIME_TICK
+    G: float = 1.0
+    eps2: float = 1e-6         # EPSILON, added to the *scaled* squared distance
+    compensate: float = 0.1    # separation pre-scale; 1.0 => plain Plummer softening with eps2
+
+    # --- solver / integrator selection (VERSION, kernel.cu:70-73) ---
+    solver: str = "auto"
+    integrator: str = "semi_implicit_euler"
+
+    # --- execution ---
+    block_size: int = 256      # row-chunk for blocked/mxu solvers (BLOCK_SIZE analogue)
+    pallas_tile_i: int = 256   # Pallas row tile (sublane dim)
+    pallas_tile_j: int = 1024  # Pallas column tile (lane dim)
+    dtype: str = "float32"
+    donate: bool = True        # donate state buffers through jitted scans
+
+    # --- guards / diagnostics (dev-history D4: project_develop_code.cu:1089-1091) ---
+    vmax_guard: float = 0.0    # if > 0, diagnostics.overspeed_count uses this threshold
+
+    def __post_init__(self) -> None:
+        if self.solver not in SOLVERS:
+            raise ValueError(f"unknown solver {self.solver!r}; expected one of {SOLVERS}")
+        if self.integrator not in INTEGRATORS:
+            raise ValueError(
+                f"unknown integrator {self.integrator!r}; expected one of {INTEGRATORS}"
+            )
+        if self.compensate <= 0:
+            raise ValueError("compensate must be > 0")
+        if self.eps2 <= 0:
+            # eps2 = 0 turns the self-pair into 0 * inf = NaN; the reference
+            # relies on EPSILON > 0 for the same reason (kernel.cu:66, 679).
+            raise ValueError("eps2 must be > 0")
+
+    # Effective Plummer softening (added to the unscaled squared distance).
+    @property
+    def eps2_effective(self) -> float:
+        return self.eps2 / (self.compensate * self.compensate)
+
+    def replace(self, **kw: Any) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------ io
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SimConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_file(cls, path: str | pathlib.Path) -> "SimConfig":
+        path = pathlib.Path(path)
+        text = path.read_text()
+        if path.suffix in (".toml", ".tml"):
+            import tomllib
+
+            return cls.from_dict(tomllib.loads(text))
+        return cls.from_dict(json.loads(text))
+
+    def save(self, path: str | pathlib.Path) -> None:
+        pathlib.Path(path).write_text(json.dumps(self.to_dict(), indent=2))

@@ -1,0 +1,62 @@
+"""Solver registry: config -> force function.
+
+The reference selects its solver at compile time via ``#define VERSION``
+(``kernel.cu:70-73``). Here ``SimConfig.solver`` picks a backend at trace
+time; ``"auto"`` resolves to the Pallas kernel on TPU and the MXU matmul
+formulation elsewhere (the Pallas kernels also run everywhere via the
+interpreter, but only for tests).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from n_body_problem_tpu.config import SimConfig
+from n_body_problem_tpu.ops import forces
+
+ForceFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def resolve_solver(solver: str, backend: str | None = None) -> str:
+    if solver != "auto":
+        return solver
+    backend = backend or jax.default_backend()
+    # TODO(pallas): flip TPU auto to "pallas" once the Pallas kernel lands.
+    return "mxu" if backend == "tpu" else "mxu"
+
+
+def make_force_fn(cfg: SimConfig, backend: str | None = None) -> ForceFn:
+    """Build ``(pos, mass) -> acc`` for the configured solver.
+
+    All returned functions require N to already satisfy the solver's padding
+    (see :func:`n_body_problem_tpu.ops.forces.required_padding` and
+    :func:`n_body_problem_tpu.state.pad_state`).
+    """
+    solver = resolve_solver(cfg.solver, backend)
+    kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G)
+
+    if solver == "direct":
+        return lambda pos, mass: forces.direct_acc(pos, mass, **kw)
+    if solver == "blocked":
+        return lambda pos, mass: forces.blocked_acc(
+            pos, mass, block_size=cfg.block_size, **kw
+        )
+    if solver == "mxu":
+        return lambda pos, mass: forces.mxu_acc(
+            pos, mass, block_size=cfg.block_size, **kw
+        )
+    if solver == "pallas":
+        from n_body_problem_tpu.ops import pallas_force
+
+        return lambda pos, mass: pallas_force.pallas_acc(
+            pos, mass, tile_i=cfg.pallas_tile_i, tile_j=cfg.pallas_tile_j, **kw
+        )
+    if solver == "pallas_symmetric":
+        from n_body_problem_tpu.ops import pallas_symmetric
+
+        return lambda pos, mass: pallas_symmetric.symmetric_acc(
+            pos, mass, tile=cfg.pallas_tile_i, **kw
+        )
+    raise ValueError(f"unknown solver {solver!r}")

@@ -1,0 +1,4 @@
+from n_body_problem_tpu.parallel.mesh import make_ring_mesh
+from n_body_problem_tpu.parallel.ring import ring_acc, make_sharded_step, shard_state
+
+__all__ = ["make_ring_mesh", "ring_acc", "make_sharded_step", "shard_state"]

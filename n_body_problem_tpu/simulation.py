@@ -1,0 +1,119 @@
+"""Step driver: build a step function and scan it on device.
+
+The reference runs one force launch + one integrate launch per rendered
+frame, crossing the host<->device boundary four times per step
+(map/unmap + two ``cudaDeviceSynchronize``, ``kernel.cu:1223-1243``). Here
+the entire multi-step run is a single ``lax.scan`` inside one ``jit`` —
+zero host round-trips until results are fetched.
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from n_body_problem_tpu.config import SimConfig
+from n_body_problem_tpu.ops.integrators import make_integrator, prime_leapfrog
+from n_body_problem_tpu.ops.registry import make_force_fn
+from n_body_problem_tpu.state import SimState
+
+StepFn = Callable[[SimState], SimState]
+
+
+def make_step_fn(cfg: SimConfig, backend: str | None = None) -> StepFn:
+    """One simulation step ``state -> state`` (force + integrate, fused)."""
+    force_fn = make_force_fn(cfg, backend)
+    return make_integrator(cfg.integrator, force_fn, cfg.dt)
+
+
+def run_steps(state: SimState, step_fn: StepFn, n_steps: int) -> SimState:
+    """Advance ``n_steps`` with ``lax.scan`` (jit-safe, static length)."""
+    def body(s, _):
+        return step_fn(s), None
+
+    state, _ = lax.scan(body, state, length=n_steps)
+    return state
+
+
+def run_trajectory(
+    state: SimState,
+    step_fn: StepFn,
+    n_steps: int,
+    save_every: int = 1,
+) -> tuple[SimState, jax.Array]:
+    """Advance ``n_steps``, stacking positions every ``save_every`` steps.
+
+    Returns ``(final_state, pos_history[n_steps // save_every, N, 3])``.
+    """
+    if n_steps % save_every:
+        raise ValueError("n_steps must be a multiple of save_every")
+
+    def outer(s, _):
+        s = run_steps(s, step_fn, save_every)
+        return s, s.pos
+
+    return lax.scan(outer, state, length=n_steps // save_every)
+
+
+class Simulation:
+    """Stateful convenience wrapper with jit + donation caching.
+
+    >>> sim = Simulation(SimConfig(), models.plummer(1024, seed=0))
+    >>> sim.run(100)
+    >>> sim.state.pos
+    """
+
+    def __init__(self, cfg: SimConfig, state: SimState, backend: str | None = None):
+        from n_body_problem_tpu.ops.forces import required_padding
+        from n_body_problem_tpu.ops.registry import resolve_solver
+        from n_body_problem_tpu.state import pad_state
+
+        self.cfg = cfg
+        self.backend = backend
+        solver = resolve_solver(cfg.solver, backend)
+        need = required_padding(solver, state.n, cfg.block_size, cfg.pallas_tile_i)
+        if state.n < need:
+            state = pad_state(state, multiple=need)
+        if cfg.integrator == "leapfrog":
+            state = jax.jit(functools.partial(prime_leapfrog, force_fn=make_force_fn(cfg, backend)))(state)
+        self.state = state
+        self._step_fn = make_step_fn(cfg, backend)
+        donate = (0,) if cfg.donate else ()
+        self._jit_run = jax.jit(run_steps, static_argnums=(1, 2), donate_argnums=donate)
+        self._jit_traj = jax.jit(
+            run_trajectory, static_argnums=(1, 2, 3), donate_argnums=donate
+        )
+        self.wall_seconds = 0.0
+
+    @property
+    def step_fn(self) -> StepFn:
+        return self._step_fn
+
+    def run(self, n_steps: int) -> SimState:
+        t0 = _time.perf_counter()
+        self.state = self._jit_run(self.state, self._step_fn, n_steps)
+        self.state.block_until_ready()
+        self.wall_seconds += _time.perf_counter() - t0
+        return self.state
+
+    def trajectory(self, n_steps: int, save_every: int = 1) -> jax.Array:
+        t0 = _time.perf_counter()
+        self.state, hist = self._jit_traj(self.state, self._step_fn, n_steps, save_every)
+        self.state.block_until_ready()
+        self.wall_seconds += _time.perf_counter() - t0
+        return hist
+
+    # ------------------------------------------------------------ metrics
+    def pairs_per_step(self) -> int:
+        """Directed pair interactions evaluated per step (N^2 over padded N)."""
+        return self.state.n * self.state.n
+
+    def diagnostics(self) -> dict:
+        from n_body_problem_tpu import diagnostics as diag
+
+        return diag.summary(self.state, self.cfg)
