@@ -33,6 +33,7 @@ Three backends, all returning ``acc (N, 3)`` float32:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -174,12 +175,14 @@ def mxu_acc(
     return lax.map(chunk, (rows, idx_rows)).reshape(n, 3)
 
 
-def required_padding(solver: str, n: int, block_size: int, tile_i: int = 256) -> int:
+def required_padding(
+    solver: str, n: int, block_size: int, tile_i: int = 256, tile_j: int = 1024
+) -> int:
     """Padded body count a solver needs for N bodies."""
-    if solver in ("blocked",):
+    if solver in ("blocked", "mxu"):
         return round_up(n, block_size)
-    if solver in ("mxu",):
-        return round_up(n, block_size)
-    if solver in ("pallas", "pallas_symmetric", "auto"):
-        return round_up(n, max(tile_i, 256))
+    if solver == "pallas":
+        return round_up(n, math.lcm(tile_i, tile_j))
+    if solver in ("pallas_symmetric", "auto"):
+        return round_up(n, math.lcm(tile_i, tile_j, 2 * tile_i))
     return n

@@ -23,8 +23,7 @@ def resolve_solver(solver: str, backend: str | None = None) -> str:
     if solver != "auto":
         return solver
     backend = backend or jax.default_backend()
-    # TODO(pallas): flip TPU auto to "pallas" once the Pallas kernel lands.
-    return "mxu" if backend == "tpu" else "mxu"
+    return "pallas" if backend == "tpu" else "mxu"
 
 
 def make_force_fn(cfg: SimConfig, backend: str | None = None) -> ForceFn:

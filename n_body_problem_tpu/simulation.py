@@ -76,7 +76,9 @@ class Simulation:
         self.cfg = cfg
         self.backend = backend
         solver = resolve_solver(cfg.solver, backend)
-        need = required_padding(solver, state.n, cfg.block_size, cfg.pallas_tile_i)
+        need = required_padding(
+            solver, state.n, cfg.block_size, cfg.pallas_tile_i, cfg.pallas_tile_j
+        )
         if state.n < need:
             state = pad_state(state, multiple=need)
         if cfg.integrator == "leapfrog":
