@@ -181,8 +181,8 @@ def required_padding(
     """Padded body count a solver needs for N bodies."""
     if solver in ("blocked", "mxu"):
         return round_up(n, block_size)
-    if solver == "pallas":
+    if solver in ("pallas", "auto"):
         return round_up(n, math.lcm(tile_i, tile_j))
-    if solver in ("pallas_symmetric", "auto"):
-        return round_up(n, math.lcm(tile_i, tile_j, 2 * tile_i))
+    if solver == "pallas_symmetric":
+        return round_up(n, tile_i)
     return n
