@@ -55,6 +55,8 @@ class SimConfig:
     block_size: int = 256      # row-chunk for blocked/mxu solvers (BLOCK_SIZE analogue)
     pallas_tile_i: int = 256   # Pallas row tile (sublane dim)
     pallas_tile_j: int = 1024  # Pallas column tile (lane dim)
+    pallas_sym_tile: int = 512          # symmetric-kernel square tile
+    pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
     dtype: str = "float32"
     donate: bool = True        # donate state buffers through jitted scans
 

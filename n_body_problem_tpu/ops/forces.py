@@ -176,7 +176,12 @@ def mxu_acc(
 
 
 def required_padding(
-    solver: str, n: int, block_size: int, tile_i: int = 256, tile_j: int = 1024
+    solver: str,
+    n: int,
+    block_size: int,
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    sym_tile: int = 512,
 ) -> int:
     """Padded body count a solver needs for N bodies."""
     if solver in ("blocked", "mxu"):
@@ -184,5 +189,5 @@ def required_padding(
     if solver in ("pallas", "auto"):
         return round_up(n, math.lcm(tile_i, tile_j))
     if solver == "pallas_symmetric":
-        return round_up(n, tile_i)
+        return round_up(n, sym_tile)
     return n

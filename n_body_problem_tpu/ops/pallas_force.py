@@ -51,6 +51,11 @@ def _force_kernel(
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
+    # Subtract FIRST, scale after: fl(c*x) - fl(c*x') would round the
+    # coordinates before cancellation and wreck close-pair separations
+    # (c = 0.1 is not a power of two). The compensate scale applies to the
+    # squared distance instead — algebraically identical to the reference's
+    # d*c pre-scale (kernel.cu:672-679), numerically strictly better.
     dx = xj_ref[:] - xi_ref[:]   # (TI, TJ) broadcast
     dy = yj_ref[:] - yi_ref[:]
     dz = zj_ref[:] - zi_ref[:]
@@ -105,9 +110,8 @@ def pallas_acc(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    c2 = compensate * compensate
-    gc3 = G * c2 * compensate
     f32 = jnp.float32
+    c2 = compensate * compensate
     pos = pos.astype(f32)
     xi = pos[:, 0:1]
     yi = pos[:, 1:2]
@@ -115,7 +119,7 @@ def pallas_acc(
     xj = pos[:, 0].reshape(1, n)
     yj = pos[:, 1].reshape(1, n)
     zj = pos[:, 2].reshape(1, n)
-    mj = (mass.astype(f32) * f32(gc3)).reshape(1, n)
+    mj = (mass.astype(f32) * f32(G * c2 * compensate)).reshape(1, n)
 
     grid = (n // tile_i, n // tile_j)
     col = lambda ti: pl.BlockSpec((ti, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)

@@ -38,10 +38,13 @@ coverage is re-derived TPU-first:
   in), rsqrt, 2 cube muls, 2 weight muls — ~12 ops per *half* pair; the
   MXU contraction work is ~48 flops/half-pair, noise next to its peak.
 
-Host-side convention: positions pre-scaled by ``compensate`` and masses by
-``G * compensate^2`` (``cal_single_acclerate_without_mass_new``'s scaling,
-``kernel.cu:665-692``, folded into the inputs), so there are no constant
-multiplies in the hot loop.
+Host-side convention: masses are pre-scaled by ``G * compensate^3`` and the
+``compensate`` factor applies to the *squared distance* in-kernel
+(``rsqrt(r2 * c^2 + eps2)``) — algebraically the reference's pair math
+(``cal_single_acclerate_without_mass_new``, ``kernel.cu:665-692``).
+Positions are deliberately NOT pre-scaled: c = 0.1 is not a power of two,
+so scaling before the subtraction would round coordinates ahead of the
+cancellation and corrupt close-pair separations.
 """
 
 from __future__ import annotations
@@ -57,28 +60,62 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512
 
 
+def _split_bf16(a):
+    """hi/lo bf16 decomposition: hi + lo reproduces a to ~2^-16 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3(a_hi, a_lo, b_hi, b_lo):
+    """f32-accurate matmul from three bf16 MXU passes.
+
+    Mosaic's f32 matmul (Precision.HIGHEST) runs six bf16 passes; for this
+    kernel's accumulation panels the lo*lo cross term is far below fp32
+    rounding, so three passes (hi*hi + hi*lo + lo*hi) recover ~f32 accuracy
+    at half the MXU cost. Coordinate-panel splits are precomputed on the
+    host; weight-matrix splits happen in-kernel.
+    """
+    f32 = jnp.float32
+    return (
+        jnp.dot(a_hi, b_hi, preferred_element_type=f32)
+        + jnp.dot(a_hi, b_lo, preferred_element_type=f32)
+        + jnp.dot(a_lo, b_hi, preferred_element_type=f32)
+    )
+
+
 def _symmetric_kernel(
-    posm_ref,    # (N, 4)  [x y z m] sublane-major: (T,1) row-body slices
-    cols_ref,    # (4, 2N) [x y z m] lane-major, doubled: (1,T) column slices
-    rows1_ref,   # (4, N)  [x y z 1] lane-major: (4,T) reaction-matmul lhs
-    colsT_ref,   # (2N, 4) [x y z 1] sublane-major, doubled: (T,4) action rhs
-    out_row_ref,  # (N, 8)  action sums in lanes 0..2
-    out_col_ref,  # (8, 2N) reaction sums in sublanes 0..2 (tail folded outside)
-    *,
+    *refs,
+    c2: float,
     eps2: float,
     tile: int,
     k_blocks: int,
     s_max: int,
     even_k: bool,
+    bf16x3: bool,
 ):
+    # Ref layout (see symmetric_acc):
+    #   posm_ref   (T, 4) block   [x y z m] row-body panel (sublane-major)
+    #   cols_ref   (4, 2N) resident, [x y z m] lane-major, doubled for wrap
+    #   rows1*     (4, N) resident  [x y z 1]: reaction-matmul lhs
+    #   colsT*     (T, 4) block     [x y z 1]: action-matmul rhs (window i+s)
+    #   out_row    (T, 8) block     action sums (accumulated over s)
+    #   out_col    (8, 2N) resident reaction sums (tail folded outside)
+    # "f32" mode passes one f32 copy of each coordinate panel; "bf16x3"
+    # passes pre-split hi/lo bf16 copies.
+    if bf16x3:
+        (posm_ref, cols_ref, rows1_hi_ref, rows1_lo_ref,
+         colsT_hi_ref, colsT_lo_ref, out_row_ref, out_col_ref) = refs
+    else:
+        (posm_ref, cols_ref, rows1_f32_ref, colsT_f32_ref,
+         out_row_ref, out_col_ref) = refs
     i = pl.program_id(0)
     s = pl.program_id(1)
     t = tile
-    f32 = out_row_ref.dtype
+    f32 = out_col_ref.dtype
 
     @pl.when(jnp.logical_and(i == 0, s == 0))
     def _():
-        out_row_ref[...] = jnp.zeros_like(out_row_ref)
         out_col_ref[...] = jnp.zeros_like(out_col_ref)
 
     if even_k:
@@ -89,20 +126,25 @@ def _symmetric_kernel(
     def tile_body(masked: bool):
         ro = pl.multiple_of(i * t, t)
         co = pl.multiple_of((i + s) * t, t)
-        xi = posm_ref[pl.ds(ro, t), 0:1]          # (T, 1)
-        yi = posm_ref[pl.ds(ro, t), 1:2]
-        zi = posm_ref[pl.ds(ro, t), 2:3]
-        mi = posm_ref[pl.ds(ro, t), 3:4]
+        xi = posm_ref[:, 0:1]                     # (T, 1)
+        yi = posm_ref[:, 1:2]
+        zi = posm_ref[:, 2:3]
+        mi = posm_ref[:, 3:4]
         xj = cols_ref[0:1, pl.ds(co, t)]          # (1, T)
         yj = cols_ref[1:2, pl.ds(co, t)]
         zj = cols_ref[2:3, pl.ds(co, t)]
         mj = cols_ref[3:4, pl.ds(co, t)]
 
+        # Subtract FIRST, scale after: pre-scaling coordinates by c = 0.1
+        # on the host would round them before cancellation and wreck
+        # close-pair separations. Scaling the squared distance is
+        # algebraically identical to the reference's d*c pre-scale
+        # (kernel.cu:672-679), numerically strictly better.
         dx = xj - xi                              # (T, T)
         dy = yj - yi
         dz = zj - zi
-        r2 = dx * dx + (dy * dy + (dz * dz + eps2))
-        inv = lax.rsqrt(r2)
+        r2 = dx * dx + dy * dy + dz * dz
+        inv = lax.rsqrt(r2 * c2 + eps2)
         u = inv * inv * inv
         if masked:
             # Strict upper triangle on the s=0 diagonal (self) tile.
@@ -112,19 +154,36 @@ def _symmetric_kernel(
 
         a_w = mj * u                              # action weights (T, T)
         b_w = mi * u                              # reaction weights (T, T)
-
         # Action on row bodies: one MXU contraction for all 4 reductions.
-        rhs = colsT_ref[pl.ds(co, t), :]          # (T, 4) = [xj yj zj 1]
-        s_row = jnp.dot(a_w, rhs, preferred_element_type=jnp.float32)  # (T, 4)
-        ax = s_row[:, 0:1] - xi * s_row[:, 3:4]
+        if bf16x3:
+            a_hi, a_lo = _split_bf16(a_w)
+            s_row = _dot_bf16x3(a_hi, a_lo, colsT_hi_ref[...], colsT_lo_ref[...])
+        else:
+            s_row = jnp.dot(a_w, colsT_f32_ref[...],
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+        ax = s_row[:, 0:1] - xi * s_row[:, 3:4]   # (T, 1) each
         ay = s_row[:, 1:2] - yi * s_row[:, 3:4]
         az = s_row[:, 2:3] - zi * s_row[:, 3:4]
         upd = jnp.concatenate([ax, ay, az, jnp.zeros((t, 5), f32)], axis=1)
-        out_row_ref[pl.ds(ro, t), :] += upd
 
-        # Reaction on column bodies.
-        lhs = rows1_ref[:, pl.ds(ro, t)]          # (4, T) = [xi; yi; zi; 1]
-        s_col = jnp.dot(lhs, b_w, preferred_element_type=jnp.float32)  # (4, T)
+        @pl.when(s == 0)
+        def _():
+            out_row_ref[...] = upd
+
+        @pl.when(s > 0)
+        def _():
+            out_row_ref[...] += upd
+
+        # Reaction on column bodies: lhs = (4, T) [xi; yi; zi; 1].
+        if bf16x3:
+            b_hi, b_lo = _split_bf16(b_w)
+            s_col = _dot_bf16x3(rows1_hi_ref[:, pl.ds(ro, t)],
+                                rows1_lo_ref[:, pl.ds(ro, t)], b_hi, b_lo)
+        else:
+            s_col = jnp.dot(rows1_f32_ref[:, pl.ds(ro, t)], b_w,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
         cx = s_col[0:1, :] - xj * s_col[3:4, :]
         cy = s_col[1:2, :] - yj * s_col[3:4, :]
         cz = s_col[2:3, :] - zj * s_col[3:4, :]
@@ -139,9 +198,13 @@ def _symmetric_kernel(
     def _():
         tile_body(masked=False)
 
+    # Inactive steps (the duplicated half of an even-K final diagonal) must
+    # still keep the row accumulator defined: it was initialized at s == 0.
+
 
 @functools.partial(
-    jax.jit, static_argnames=("eps2", "compensate", "G", "tile", "interpret")
+    jax.jit,
+    static_argnames=("eps2", "compensate", "G", "tile", "precision", "interpret"),
 )
 def symmetric_acc(
     pos: jax.Array,
@@ -151,12 +214,28 @@ def symmetric_acc(
     compensate: float = 0.1,
     G: float = 1.0,
     tile: int = DEFAULT_TILE,
+    precision: str = "f32",
     interpret: bool | None = None,
 ) -> jax.Array:
-    """acc (N, 3): every unordered pair evaluated once (Newton's 3rd law)."""
+    """acc (N, 3): every unordered pair evaluated once (Newton's 3rd law).
+
+    ``precision``:
+
+    - ``"f32"`` (default): exact fp32 accumulation panels
+      (``Precision.HIGHEST`` — six bf16 MXU passes). Matches the direct
+      kernel to ~1e-5.
+    - ``"bf16x3"``: three bf16 passes, ~1.7x faster on the MXU side, but the
+      accumulated sums cancel against ``x_i * sum(w)``, so with spatially
+      unsorted bodies the force error can reach percent level on
+      weakly-accelerated bodies. Use only for throughput experiments until
+      tile-local (Morton-sorted, centroid-shifted) coordinates land.
+    """
     n = pos.shape[0]
     if n % tile:
         raise ValueError(f"symmetric_acc: N={n} must be a multiple of tile={tile}")
+    if precision not in ("f32", "bf16x3"):
+        raise ValueError(f"unknown precision {precision!r}")
+    bf16x3 = precision == "bf16x3"
     k = n // tile
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -165,8 +244,9 @@ def symmetric_acc(
     s_max = k // 2 if even_k else (k - 1) // 2
 
     f32 = jnp.float32
-    ps = pos.astype(f32) * f32(compensate)
-    ms = (mass.astype(f32) * f32(G * compensate * compensate)).reshape(n, 1)
+    c2 = compensate * compensate
+    ps = pos.astype(f32)
+    ms = (mass.astype(f32) * f32(G * c2 * compensate)).reshape(n, 1)
     ones = jnp.ones((n, 1), f32)
     posm = jnp.concatenate([ps, ms], axis=1)                  # (N, 4)
     pos1 = jnp.concatenate([ps, ones], axis=1)                # (N, 4)
@@ -175,15 +255,35 @@ def symmetric_acc(
     rows1 = pos1.T                                            # (4, N)
     colsT2 = jnp.concatenate([pos1, pos1], axis=0)            # (2N, 4)
 
+    # Narrow sublane-major panels are *blocked* (a resident (N, 4) array
+    # would pad lanes 4 -> 128 in VMEM, 32x memory); wide lane-major arrays
+    # stay whole-array resident.
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_panel = pl.BlockSpec((tile, 4), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+    col_panel = pl.BlockSpec(
+        (tile, 4), lambda i, s: (i + s, 0), memory_space=pltpu.VMEM
+    )
+    if bf16x3:
+        rows1_hi, rows1_lo = _split_bf16(rows1)
+        colsT2_hi, colsT2_lo = _split_bf16(colsT2)
+        inputs = (posm, cols2, rows1_hi, rows1_lo, colsT2_hi, colsT2_lo)
+        in_specs = [row_panel, vmem, vmem, vmem, col_panel, col_panel]
+    else:
+        inputs = (posm, cols2, rows1, colsT2)
+        in_specs = [row_panel, vmem, vmem, col_panel]
+
     out_row, out_col = pl.pallas_call(
         functools.partial(
             _symmetric_kernel,
-            eps2=float(eps2), tile=tile, k_blocks=k, s_max=s_max, even_k=even_k,
+            c2=float(c2), eps2=float(eps2), tile=tile, k_blocks=k,
+            s_max=s_max, even_k=even_k, bf16x3=bf16x3,
         ),
         grid=(k, s_max + 1),
-        in_specs=[vmem] * 4,
-        out_specs=(vmem, vmem),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((tile, 8), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            vmem,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 8), f32),
             jax.ShapeDtypeStruct((8, 2 * n), f32),
@@ -194,7 +294,7 @@ def symmetric_acc(
             transcendentals=n * n // 2,
         ),
         interpret=interpret,
-    )(posm, cols2, rows1, colsT2)
+    )(*inputs)
 
     reaction = out_col[:3, :n] + out_col[:3, n:]   # fold the wrapped tail
     return out_row[:, :3] + reaction.T

@@ -56,6 +56,7 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None) -> ForceFn:
         from n_body_problem_tpu.ops import pallas_symmetric
 
         return lambda pos, mass: pallas_symmetric.symmetric_acc(
-            pos, mass, tile=cfg.pallas_tile_i, **kw
+            pos, mass, tile=cfg.pallas_sym_tile,
+            precision=cfg.pallas_sym_precision, **kw
         )
     raise ValueError(f"unknown solver {solver!r}")

@@ -77,7 +77,8 @@ class Simulation:
         self.backend = backend
         solver = resolve_solver(cfg.solver, backend)
         need = required_padding(
-            solver, state.n, cfg.block_size, cfg.pallas_tile_i, cfg.pallas_tile_j
+            solver, state.n, cfg.block_size, cfg.pallas_tile_i,
+            cfg.pallas_tile_j, cfg.pallas_sym_tile,
         )
         if state.n < need:
             state = pad_state(state, multiple=need)
