@@ -87,13 +87,15 @@ def load_dataset(
     directory: str | pathlib.Path | None = None,
     quirk_compat: bool = False,
     pad_reference_style: bool = False,
+    max_bodies: int | None = None,
     seed: int = 0,
 ) -> tuple[SimState, DatasetSpec]:
     """Load dataset ``dataset_id`` (0-5), returning (state, spec).
 
     ``pad_reference_style`` pads to the reference's K*256+1 body count
     (``kernel.cu:260-278``); by default no padding is applied (the solvers
-    pad to their own tile sizes).
+    pad to their own tile sizes). ``max_bodies`` truncates oversized inputs
+    (the dev-history MAX_BODIES clamp, ``project_develop_code.cu:1597-1602``).
     """
     try:
         spec = DATASETS[dataset_id]
@@ -120,6 +122,15 @@ def load_dataset(
             f"procedural fallback exists"
         )
 
+    if max_bodies is not None and state.n > max_bodies:
+        from n_body_problem_tpu.state import SimState as _S
+
+        state = _S(
+            pos=state.pos[:max_bodies], vel=state.vel[:max_bodies],
+            mass=state.mass[:max_bodies], eps=state.eps[:max_bodies],
+            acc=state.acc[:max_bodies], time=state.time, step=state.step,
+            n_real=min(state.n_real, max_bodies),
+        )
     if pad_reference_style:
         state = pad_state(state, multiple=256, extra=1)
     return state, spec

@@ -78,6 +78,35 @@ def pair_accel_tile(
     return jnp.einsum("ij,ijk->ik", w, d, precision=lax.Precision.HIGHEST)
 
 
+def pair_accel_tile_symmetric(
+    pos_i: jax.Array,   # (I, 3)
+    mass_i: jax.Array,  # (I,)
+    pos_j: jax.Array,   # (J, 3)
+    mass_j: jax.Array,  # (J,)
+    *,
+    eps2: float,
+    compensate: float = 0.1,
+    G: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Both halves of a block-pair interaction from one pair evaluation.
+
+    Returns ``(acc_i, acc_j)`` — the action of tile J on tile I and the
+    reaction of tile I on tile J — sharing the distance/rsqrt work, the
+    XLA-level analogue of the reference's Newton's-3rd-law tile
+    (``kernel.cu:748-761``). Used by the multi-chip symmetric half-ring.
+    """
+    c2 = compensate * compensate
+    Gc3 = G * c2 * compensate
+    d = pos_j[None, :, :] - pos_i[:, None, :]          # (I, J, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    inv = lax.rsqrt(c2 * r2 + eps2)
+    u = (Gc3) * (inv * inv * inv)                      # (I, J) mass-free
+    hp = lax.Precision.HIGHEST
+    acc_i = jnp.einsum("ij,ijk->ik", u * mass_j[None, :], d, precision=hp)
+    acc_j = -jnp.einsum("ij,ijk->jk", u * mass_i[:, None], d, precision=hp)
+    return acc_i, acc_j
+
+
 def direct_acc(
     pos: jax.Array,
     mass: jax.Array,

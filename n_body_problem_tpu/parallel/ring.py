@@ -57,6 +57,72 @@ def ring_acc(
     return acc
 
 
+def half_ring_acc(
+    pos_local: jax.Array,   # (B, 3) this shard's bodies
+    mass_local: jax.Array,  # (B,)
+    *,
+    axis_name: str = RING_AXIS,
+    eps2: float,
+    compensate: float = 0.1,
+    G: float = 1.0,
+) -> jax.Array:
+    """Symmetric (Newton's 3rd law) ring: each unordered *block pair* is
+    evaluated on exactly one chip.
+
+    The cross-chip analogue of the reference's half-pair kernel: the
+    visiting packet carries ``(pos, mass, reaction_acc)``; at each of
+    ``floor(D/2)`` stages the host chip computes both halves of the block
+    interaction from one pair evaluation, adds the action locally and the
+    reaction into the travelling packet; after the sweep one ``ppermute``
+    returns each packet's accumulated reaction to its owner. For even D the
+    final diagonal is gated to the lower half of the ring (each block pair
+    would otherwise be visited twice). Cross-chip pair work is ~halved at
+    the cost of one extra (B, 3) hop per stage.
+    """
+    from n_body_problem_tpu.ops.forces import pair_accel_tile_symmetric
+
+    n_shards = lax.axis_size(axis_name)
+    fkw = dict(eps2=eps2, compensate=compensate, G=G)
+    # Stage 0: the local block against itself (self-pairs contribute zero).
+    acc = pair_accel_tile(pos_local, pos_local, mass_local, **fkw)
+    if n_shards == 1:
+        return acc
+
+    s_last = n_shards // 2
+    even = n_shards % 2 == 0
+    me = lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def stage(carry, s):
+        acc, pos_v, mass_v, react_v = carry
+        pos_v, mass_v, react_v = lax.ppermute(
+            (pos_v, mass_v, react_v), axis_name, fwd
+        )
+        # After s hops the packet on this chip belongs to shard (me - s).
+        a_local, a_visit = pair_accel_tile_symmetric(
+            pos_local, mass_local, pos_v, mass_v, **fkw
+        )
+        if even:
+            gate = jnp.where(
+                jnp.logical_or(s < s_last, me < n_shards // 2), 1.0, 0.0
+            ).astype(acc.dtype)
+        else:
+            gate = jnp.ones((), acc.dtype)
+        acc = acc + gate * a_local
+        react_v = react_v + gate * a_visit
+        return (acc, pos_v, mass_v, react_v), None
+
+    init = (acc, pos_local, mass_local, jnp.zeros_like(pos_local))
+    (acc, _, _, react_v), _ = lax.scan(
+        stage, init, jnp.arange(1, s_last + 1), length=s_last
+    )
+    # The packet now on chip d belongs to shard (d - s_last): send its
+    # reaction home in one hop of distance s_last around the ring.
+    home = [(i, (i - s_last) % n_shards) for i in range(n_shards)]
+    acc = acc + lax.ppermute(react_v, axis_name, home)
+    return acc
+
+
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
     """Place a state with bodies sharded over the ring axis (scalars replicated).
 
@@ -75,18 +141,30 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
     return jax.tree_util.tree_map(place, state)
 
 
-def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis_name: str = RING_AXIS) -> Callable:
+def make_sharded_step(
+    cfg: SimConfig,
+    mesh: Mesh,
+    axis_name: str = RING_AXIS,
+    strategy: str = "ring",
+) -> Callable:
     """One integration step over sharded state: ``state -> state``.
 
     The whole step (ring force + integrator) runs inside one ``shard_map``,
     so the only cross-chip traffic is the ``ppermute`` tile rotation.
     Supports both integrators; leapfrog uses the carried ``state.acc``.
+
+    ``strategy``: ``"ring"`` (every chip sweeps all tiles) or
+    ``"half_ring"`` (Newton's-3rd-law coverage, ~half the cross-chip pair
+    work — the distributed version of the reference's report method).
     """
+    if strategy not in ("ring", "half_ring"):
+        raise ValueError(f"unknown ring strategy {strategy!r}")
+    force = ring_acc if strategy == "ring" else half_ring_acc
     dt = cfg.dt
     fkw = dict(axis_name=axis_name, eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G)
 
     def _euler(pos, vel, mass, acc_prev):
-        acc = ring_acc(pos, mass, **fkw)
+        acc = force(pos, mass, **fkw)
         vel = vel + acc * dt
         pos = pos + vel * dt
         return pos, vel, acc
@@ -94,7 +172,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis_name: str = RING_AXIS) ->
     def _leapfrog(pos, vel, mass, acc_prev):
         v_half = vel + acc_prev * (0.5 * dt)
         pos = pos + v_half * dt
-        acc = ring_acc(pos, mass, **fkw)
+        acc = force(pos, mass, **fkw)
         vel = v_half + acc * (0.5 * dt)
         return pos, vel, acc
 

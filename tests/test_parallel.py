@@ -58,3 +58,38 @@ def test_shard_state_requires_divisibility(mesh):
     state = models.plummer(100, seed=3)  # 100 % 8 != 0
     with pytest.raises(ValueError):
         shard_state(state, mesh)
+
+
+@pytest.mark.parametrize("n_real", [240, 250])  # even-D gate + odd sizes
+def test_half_ring_matches_direct(mesh, n_real):
+    """Newton's-3rd-law ring coverage == plain ring == single-chip."""
+    state = pad_state(models.plummer(n_real, seed=7), multiple=8)
+    cfg = SimConfig(solver="direct")
+    sharded = shard_state(state, mesh)
+    step = jax.jit(make_sharded_step(cfg, mesh, strategy="half_ring"))
+    out = step(sharded)
+    want = jax.jit(make_step_fn(cfg))(state)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want.pos), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(want.vel), rtol=1e-5, atol=1e-6)
+
+
+def test_half_ring_odd_device_count():
+    devices = jax.devices()[:5]
+    mesh5 = make_ring_mesh(5, devices=devices)
+    state = pad_state(models.plummer(98, seed=8), multiple=5)
+    cfg = SimConfig(solver="direct", integrator="leapfrog")
+    sharded = shard_state(state, mesh5)
+    step = jax.jit(make_sharded_step(cfg, mesh5, strategy="half_ring"))
+    out = step(sharded)
+    want = jax.jit(make_step_fn(cfg))(state)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want.pos), rtol=1e-5, atol=1e-6)
+
+
+def test_single_device_mesh():
+    mesh1 = make_ring_mesh(1)
+    state = pad_state(models.plummer(64, seed=9), multiple=1)
+    cfg = SimConfig(solver="direct")
+    for strat in ("ring", "half_ring"):
+        out = jax.jit(make_sharded_step(cfg, mesh1, strategy=strat))(shard_state(state, mesh1))
+        want = jax.jit(make_step_fn(cfg))(state)
+        np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want.pos), rtol=1e-5, atol=1e-6)
