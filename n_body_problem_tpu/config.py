@@ -57,6 +57,8 @@ class SimConfig:
     pallas_tile_j: int = 1024  # Pallas column tile (lane dim)
     pallas_sym_tile: int = 512          # symmetric-kernel square tile
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
+    morton_sort: bool = False  # Z-order bodies at init (tile locality; makes
+                               # bf16x3 accumulation panels accurate)
     dtype: str = "float32"
     donate: bool = True        # donate state buffers through jitted scans
 

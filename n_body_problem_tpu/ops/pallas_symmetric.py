@@ -104,10 +104,10 @@ def _symmetric_kernel(
     # "f32" mode passes one f32 copy of each coordinate panel; "bf16x3"
     # passes pre-split hi/lo bf16 copies.
     if bf16x3:
-        (posm_ref, cols_ref, rows1_hi_ref, rows1_lo_ref,
+        (posm_ref, cols_ref, centers_ref, rows1_hi_ref, rows1_lo_ref,
          colsT_hi_ref, colsT_lo_ref, out_row_ref, out_col_ref) = refs
     else:
-        (posm_ref, cols_ref, rows1_f32_ref, colsT_f32_ref,
+        (posm_ref, cols_ref, centers_ref, rows1_f32_ref, colsT_f32_ref,
          out_row_ref, out_col_ref) = refs
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -162,9 +162,14 @@ def _symmetric_kernel(
             s_row = jnp.dot(a_w, colsT_f32_ref[...],
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
-        ax = s_row[:, 0:1] - xi * s_row[:, 3:4]   # (T, 1) each
-        ay = s_row[:, 1:2] - yi * s_row[:, 3:4]
-        az = s_row[:, 2:3] - zi * s_row[:, 3:4]
+        # Accumulation panels are tile-centered: sum A*(xj - c_j) with the
+        # correction (x_i - c_j)*sum(A). Centering shrinks the panel sums
+        # from system scale to tile scale (a strict conditioning win for
+        # both precision modes).
+        cj = centers_ref[pl.ds(i + s, 1), :]      # (1, 4) column-tile centre
+        ax = s_row[:, 0:1] - (xi - cj[0, 0]) * s_row[:, 3:4]
+        ay = s_row[:, 1:2] - (yi - cj[0, 1]) * s_row[:, 3:4]
+        az = s_row[:, 2:3] - (zi - cj[0, 2]) * s_row[:, 3:4]
         upd = jnp.concatenate([ax, ay, az, jnp.zeros((t, 5), f32)], axis=1)
 
         @pl.when(s == 0)
@@ -184,9 +189,10 @@ def _symmetric_kernel(
             s_col = jnp.dot(rows1_f32_ref[:, pl.ds(ro, t)], b_w,
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
-        cx = s_col[0:1, :] - xj * s_col[3:4, :]
-        cy = s_col[1:2, :] - yj * s_col[3:4, :]
-        cz = s_col[2:3, :] - zj * s_col[3:4, :]
+        ci = centers_ref[pl.ds(i, 1), :]          # (1, 4) row-tile centre
+        cx = s_col[0:1, :] - (xj - ci[0, 0]) * s_col[3:4, :]
+        cy = s_col[1:2, :] - (yj - ci[0, 1]) * s_col[3:4, :]
+        cz = s_col[2:3, :] - (zj - ci[0, 2]) * s_col[3:4, :]
         cupd = jnp.concatenate([cx, cy, cz, jnp.zeros((5, t), f32)], axis=0)
         out_col_ref[:, pl.ds(co, t)] += cupd
 
@@ -224,11 +230,10 @@ def symmetric_acc(
     - ``"f32"`` (default): exact fp32 accumulation panels
       (``Precision.HIGHEST`` — six bf16 MXU passes). Matches the direct
       kernel to ~1e-5.
-    - ``"bf16x3"``: three bf16 passes, ~1.7x faster on the MXU side, but the
-      accumulated sums cancel against ``x_i * sum(w)``, so with spatially
-      unsorted bodies the force error can reach percent level on
-      weakly-accelerated bodies. Use only for throughput experiments until
-      tile-local (Morton-sorted, centroid-shifted) coordinates land.
+    - ``"bf16x3"``: three bf16 passes, ~20% faster end-to-end, but the hi/lo
+      split's 2^-17 representation floor times the panel-vs-force
+      cancellation ratio (~50x even with Morton-sorted, tile-centered
+      coordinates) leaves ~1% p99 force error. Experimental fast-math only.
     """
     n = pos.shape[0]
     if n % tile:
@@ -249,9 +254,15 @@ def symmetric_acc(
     ms = (mass.astype(f32) * f32(G * c2 * compensate)).reshape(n, 1)
     ones = jnp.ones((n, 1), f32)
     posm = jnp.concatenate([ps, ms], axis=1)                  # (N, 4)
-    pos1 = jnp.concatenate([ps, ones], axis=1)                # (N, 4)
     cols = posm.T                                             # (4, N)
     cols2 = jnp.concatenate([cols, cols], axis=1)             # (4, 2N)
+    # Tile-centered accumulation panels (see kernel corrections).
+    centers = jnp.mean(ps.reshape(k, tile, 3), axis=1)        # (K, 3)
+    ps_c = (ps.reshape(k, tile, 3) - centers[:, None, :]).reshape(n, 3)
+    centers4 = jnp.concatenate(
+        [jnp.concatenate([centers, jnp.zeros((k, 1), f32)], axis=1)] * 2, axis=0
+    )                                                         # (2K, 4)
+    pos1 = jnp.concatenate([ps_c, ones], axis=1)              # (N, 4) centered
     rows1 = pos1.T                                            # (4, N)
     colsT2 = jnp.concatenate([pos1, pos1], axis=0)            # (2N, 4)
 
@@ -266,11 +277,11 @@ def symmetric_acc(
     if bf16x3:
         rows1_hi, rows1_lo = _split_bf16(rows1)
         colsT2_hi, colsT2_lo = _split_bf16(colsT2)
-        inputs = (posm, cols2, rows1_hi, rows1_lo, colsT2_hi, colsT2_lo)
-        in_specs = [row_panel, vmem, vmem, vmem, col_panel, col_panel]
+        inputs = (posm, cols2, centers4, rows1_hi, rows1_lo, colsT2_hi, colsT2_lo)
+        in_specs = [row_panel, vmem, vmem, vmem, vmem, col_panel, col_panel]
     else:
-        inputs = (posm, cols2, rows1, colsT2)
-        in_specs = [row_panel, vmem, vmem, col_panel]
+        inputs = (posm, cols2, centers4, rows1, colsT2)
+        in_specs = [row_panel, vmem, vmem, vmem, col_panel]
 
     out_row, out_col = pl.pallas_call(
         functools.partial(

@@ -75,6 +75,16 @@ class Simulation:
 
         self.cfg = cfg
         self.backend = backend
+        self.sort_perm = None
+        if cfg.morton_sort:
+            import numpy as _np
+
+            from n_body_problem_tpu.state import unpad_state
+            from n_body_problem_tpu.utils.morton import apply_permutation, morton_argsort
+
+            real = unpad_state(state) if state.n != state.n_real else state
+            self.sort_perm = morton_argsort(_np.asarray(real.pos))
+            state = apply_permutation(real, self.sort_perm)
         solver = resolve_solver(cfg.solver, backend)
         need = required_padding(
             solver, state.n, cfg.block_size, cfg.pallas_tile_i,
