@@ -77,11 +77,20 @@ def cmd_run(args) -> int:
     from n_body_problem_tpu.utils.profiling import trace
 
     cfg = _build_config(args)
+    if args.morton_sort:
+        cfg = cfg.replace(morton_sort=True)
     state, scales, cam_dist = _load_initial_state(args)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    sim = Simulation(cfg, state)
+    if args.devices > 1:
+        from n_body_problem_tpu.parallel import ShardedSimulation, make_ring_mesh
+
+        sim = ShardedSimulation(
+            cfg, state, make_ring_mesh(args.devices), strategy=args.strategy
+        )
+    else:
+        sim = Simulation(cfg, state)
     print(
         f"n={sim.state.n_real} (padded {sim.state.n})  solver={cfg.solver}  "
         f"integrator={cfg.integrator}  dt={cfg.dt}", file=sys.stderr,
@@ -234,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--export-snap", action="store_true")
     r.add_argument("--profile", action="store_true")
+    r.add_argument("--morton-sort", action="store_true",
+                   help="Z-order bodies at init (tile locality)")
+    r.add_argument("--devices", type=int, default=1,
+                   help="shard bodies over a ring mesh of this many devices")
+    r.add_argument("--strategy", default="ring", choices=["ring", "half_ring"],
+                   help="distributed force strategy (with --devices > 1)")
     r.set_defaults(fn=cmd_run)
 
     i = sub.add_parser("info", help="environment, datasets, solvers")

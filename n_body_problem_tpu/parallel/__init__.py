@@ -5,6 +5,7 @@ from n_body_problem_tpu.parallel.ring import (
     ring_acc,
     shard_state,
 )
+from n_body_problem_tpu.parallel.sharded import ShardedSimulation
 
 __all__ = [
     "make_ring_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "half_ring_acc",
     "make_sharded_step",
     "shard_state",
+    "ShardedSimulation",
 ]

@@ -1,0 +1,106 @@
+"""ShardedSimulation — the multi-chip counterpart of Simulation.
+
+Scales BASELINE.json configs 4-5 (N=262k over 4 chips, N=1M+): bodies are
+sharded over a ring mesh, whole multi-step runs scan on-device inside one
+jit, and the only cross-chip traffic per force evaluation is the
+``ppermute`` tile rotation (strategy ``"ring"``) or the half-ring packet
+exchange (strategy ``"half_ring"``, Newton's 3rd law across chips).
+
+>>> mesh = make_ring_mesh()                       # all local devices
+>>> sim = ShardedSimulation(cfg, state, mesh, strategy="half_ring")
+>>> sim.run(1000)
+>>> sim.diagnostics()["energy"]
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import jax
+from jax import lax
+
+from n_body_problem_tpu.config import SimConfig
+from n_body_problem_tpu.parallel.mesh import RING_AXIS, make_ring_mesh
+from n_body_problem_tpu.parallel.ring import make_sharded_step, shard_state
+from n_body_problem_tpu.state import SimState, pad_state
+from n_body_problem_tpu.utils.padding import round_up
+
+
+class ShardedSimulation:
+    def __init__(
+        self,
+        cfg: SimConfig,
+        state: SimState,
+        mesh=None,
+        *,
+        strategy: str = "ring",
+        axis_name: str = RING_AXIS,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_ring_mesh()
+        self.strategy = strategy
+        n_dev = self.mesh.devices.size
+        if cfg.morton_sort:
+            import numpy as _np
+
+            from n_body_problem_tpu.state import unpad_state
+            from n_body_problem_tpu.utils.morton import (
+                apply_permutation,
+                morton_argsort,
+            )
+
+            real = unpad_state(state) if state.n != state.n_real else state
+            state = apply_permutation(real, morton_argsort(_np.asarray(real.pos)))
+        if state.n % n_dev:
+            state = pad_state(state, multiple=round_up(state.n, n_dev))
+        self.state = shard_state(state, self.mesh)
+
+        if cfg.integrator == "leapfrog":
+            # Prime the carried acceleration (leapfrog's first half-kick
+            # needs the force at the initial positions).
+            from jax.sharding import PartitionSpec as P
+
+            from n_body_problem_tpu.parallel.ring import half_ring_acc, ring_acc
+
+            force = half_ring_acc if strategy == "half_ring" else ring_acc
+            fkw = dict(axis_name=axis_name, eps2=cfg.eps2,
+                       compensate=cfg.compensate, G=cfg.G)
+            row = P(axis_name)
+            acc = jax.jit(jax.shard_map(
+                lambda p, m: force(p, m, **fkw),
+                mesh=self.mesh, in_specs=(row, row), out_specs=row,
+            ))(self.state.pos, self.state.mass)
+            self.state = SimState(
+                pos=self.state.pos, vel=self.state.vel, mass=self.state.mass,
+                eps=self.state.eps, acc=acc, time=self.state.time,
+                step=self.state.step, n_real=self.state.n_real,
+            )
+        step = make_sharded_step(cfg, self.mesh, axis_name, strategy)
+
+        def run_steps(s: SimState, n: int) -> SimState:
+            def body(carry, _):
+                return step(carry), None
+
+            out, _ = lax.scan(body, s, length=n)
+            return out
+
+        donate = (0,) if cfg.donate else ()
+        self._jit_run = jax.jit(run_steps, static_argnums=(1,), donate_argnums=donate)
+        self._step = jax.jit(step, donate_argnums=donate)
+        self.wall_seconds = 0.0
+
+    def run(self, n_steps: int) -> SimState:
+        t0 = _time.perf_counter()
+        self.state = self._jit_run(self.state, n_steps)
+        self.state.block_until_ready()
+        self.wall_seconds += _time.perf_counter() - t0
+        return self.state
+
+    def step(self) -> SimState:
+        self.state = self._step(self.state)
+        return self.state
+
+    def diagnostics(self) -> dict:
+        from n_body_problem_tpu import diagnostics as diag
+
+        return diag.summary(self.state, self.cfg)

@@ -86,3 +86,16 @@ def test_metrics_timer():
     s = t.snapshot()
     assert s["steps"] == 10 and s["pairs_per_sec"] > 0
     assert not t.window_full  # reset
+
+
+def test_run_multichip_cpu_mesh(tmp_path):
+    rc = main([
+        "run", "--model", "plummer", "--n", "128", "--steps", "10",
+        "--solver", "direct", "--devices", "4", "--strategy", "half_ring",
+        "--morton-sort", "--out", str(tmp_path),
+    ])
+    assert rc == 0
+    from n_body_problem_tpu.io.checkpoint import load_checkpoint
+
+    state, _ = load_checkpoint(tmp_path / "final.npz")
+    assert int(state.step) == 10

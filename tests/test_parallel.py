@@ -93,3 +93,20 @@ def test_single_device_mesh():
         out = jax.jit(make_sharded_step(cfg, mesh1, strategy=strat))(shard_state(state, mesh1))
         want = jax.jit(make_step_fn(cfg))(state)
         np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want.pos), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_simulation_wrapper(mesh):
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+    from n_body_problem_tpu import Simulation
+
+    cfg = SimConfig(solver="direct", integrator="leapfrog")
+    state = models.plummer(160, seed=11)
+    ssim = ShardedSimulation(cfg, state, mesh, strategy="half_ring")
+    ssim.run(10)
+    ref = Simulation(cfg, models.plummer(160, seed=11))
+    ref.run(10)
+    np.testing.assert_allclose(
+        np.asarray(ssim.state.pos), np.asarray(ref.state.pos), rtol=2e-5, atol=1e-5
+    )
+    d = ssim.diagnostics()
+    assert d["step"] == 10 and d["overspeed"] == 0
