@@ -110,7 +110,10 @@ def cmd_run(args) -> int:
     )
     timer = StepTimer(n_bodies=sim.state.n)
 
-    block = args.steps_per_block
+    # A block must not straddle any output interval, or events get skipped.
+    intervals = [v for v in (args.render_every, args.diag_every,
+                             args.checkpoint_every) if v > 0]
+    block = min([args.steps_per_block] + intervals)
     done = 0
     frame_idx = 0
     try:
@@ -142,6 +145,12 @@ def cmd_run(args) -> int:
     finally:
         if viewer:
             viewer.close()
+
+    if args.gif and viewer and viewer.frames_written:
+        from n_body_problem_tpu.render.viewer import assemble_gif
+
+        n_frames = assemble_gif(out / "frames", out / "movie.gif", fps=args.gif_fps)
+        print(f"assembled movie.gif ({n_frames} frames)", file=sys.stderr)
 
     save_checkpoint(out / "final.npz", sim.state, cfg)
     if args.export_snap:
@@ -233,6 +242,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--steps-per-block", type=int, default=50)
     r.add_argument("--out", default="out")
     r.add_argument("--render-every", type=int, default=0)
+    r.add_argument("--gif", action="store_true",
+                   help="assemble frames into movie.gif (needs Pillow)")
+    r.add_argument("--gif-fps", type=float, default=25.0)
     r.add_argument("--width", type=int, default=1024)
     r.add_argument("--height", type=int, default=768)
     r.add_argument("--exposure", type=float, default=1.0)

@@ -77,3 +77,29 @@ class FrameWriter:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def assemble_gif(
+    frames_dir: str | pathlib.Path,
+    out_path: str | pathlib.Path,
+    fps: float = 25.0,
+    pattern: str = "*.png",
+) -> int:
+    """Assemble written frames into an animated GIF (optional: needs PIL).
+
+    Returns the number of frames; raises RuntimeError without PIL.
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("GIF assembly needs Pillow; keep the PNG sequence") from e
+
+    files = sorted(pathlib.Path(frames_dir).glob(pattern))
+    if not files:
+        return 0
+    frames = [Image.open(f).convert("P", palette=Image.ADAPTIVE) for f in files]
+    frames[0].save(
+        out_path, save_all=True, append_images=frames[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return len(frames)
