@@ -113,6 +113,21 @@ def read_snap(path: str | pathlib.Path) -> BodyData:
     return BodyData(pos=pos, vel=vel, mass=mass, eps=eps, time=time)
 
 
+def read_csv(path: str | pathlib.Path) -> BodyData:
+    """Read the converter's CSV format (``id,x,y,z,mass,vx,vy,vz,eps`` —
+    the layout of the reference-shipped ``galaxy_20k.csv`` produced by
+    ``tool.cpp``). Round-trips with :func:`~n_body_problem_tpu.io.convert.
+    tipsy_to_csv`."""
+    a = np.genfromtxt(path, delimiter=",", skip_header=1, dtype=np.float64)
+    a = a.reshape(-1, 9)
+    return BodyData(
+        pos=a[:, 1:4].astype(np.float32),
+        vel=a[:, 5:8].astype(np.float32),
+        mass=a[:, 4].astype(np.float32),
+        eps=a[:, 8].astype(np.float32),
+    )
+
+
 def read_snap_as_dat(path: str | pathlib.Path) -> BodyData:
     """Quirk Q1: the reference routes datasets 4/5 (.snap files) through the
     dat reader (``kernel.cu:1002, 1008``), so the 3 header lines become 3

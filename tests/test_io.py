@@ -211,3 +211,23 @@ def test_converter_matches_reference_csv(reference_data_dir, tmp_path):
         a = np.array(ours[i].split(","), dtype=np.float64)
         b = np.array(theirs[i].split(","), dtype=np.float64)
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_csv_roundtrip_with_converter(reference_data_dir, tmp_path):
+    from n_body_problem_tpu.io import read_csv
+
+    out = tmp_path / "o.csv"
+    tipsy_to_csv(reference_data_dir / "galaxy_20K.bin", out)
+    d = read_csv(out)
+    t = read_tipsy(reference_data_dir / "galaxy_20K.bin")
+    assert d.n == 20000
+    np.testing.assert_allclose(d.pos, t.pos, rtol=1e-4)
+    np.testing.assert_allclose(d.mass, t.mass, rtol=1e-4)
+
+
+def test_read_reference_shipped_csv(reference_data_dir):
+    from n_body_problem_tpu.io import read_csv
+
+    d = read_csv(reference_data_dir / "galaxy_20k.csv")
+    assert d.n == 20000
+    np.testing.assert_allclose(d.pos[0], [0.471854, 0.109532, 0.898546], rtol=1e-5)
