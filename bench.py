@@ -61,6 +61,23 @@ def main() -> None:
 
     ms_per_step = dt / args.steps * 1e3
     pairs_per_sec = (n_padded * n_padded) * args.steps / dt
+
+    # Second half of the BASELINE metric: ms/step including a rendered frame
+    # (the reference integrates exactly once per rendered frame).
+    from n_body_problem_tpu.render import OrbitCamera, render_state
+
+    cam = OrbitCamera(distance=2.0)
+    def step_and_render():
+        sim.run(1)
+        return render_state(sim.state, cam, width=1024, height=768)
+    frame = step_and_render()
+    float(np.asarray(frame[0, 0, 0]))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(5):
+        frame = step_and_render()
+    float(np.asarray(frame[0, 0, 0]))
+    ms_with_render = (time.perf_counter() - t0) / 5 * 1e3
+
     baseline = 2.6e11  # RTX 4090 derived directed interactions/s (BASELINE.md)
     print(f"bench: {ms_per_step:.3f} ms/step, {pairs_per_sec:.3e} pairs/s",
           file=sys.stderr)
@@ -70,6 +87,7 @@ def main() -> None:
         "unit": "pairs/s",
         "vs_baseline": pairs_per_sec / baseline,
         "ms_per_step": ms_per_step,
+        "ms_per_step_with_render": ms_with_render,
         "n": args.n,
         "n_padded": n_padded,
         "solver": cfg.solver,

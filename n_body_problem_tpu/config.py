@@ -78,6 +78,11 @@ class SimConfig:
             # eps2 = 0 turns the self-pair into 0 * inf = NaN; the reference
             # relies on EPSILON > 0 for the same reason (kernel.cu:66, 679).
             raise ValueError("eps2 must be > 0")
+        if self.pallas_sym_precision not in ("f32", "bf16x3", "mixed"):
+            raise ValueError(
+                f"unknown pallas_sym_precision {self.pallas_sym_precision!r}; "
+                "expected 'f32', 'bf16x3' or 'mixed'"
+            )
 
     # Effective Plummer softening (added to the unscaled squared distance).
     @property

@@ -32,7 +32,6 @@ Three backends, all returning ``acc (N, 3)`` float32:
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -92,7 +92,7 @@ def _symmetric_kernel(
     k_blocks: int,
     s_max: int,
     even_k: bool,
-    bf16x3: bool,
+    near_s: int,
 ):
     # Ref layout (see symmetric_acc):
     #   posm_ref   (T, 4) block   [x y z m] row-body panel (sublane-major)
@@ -101,14 +101,19 @@ def _symmetric_kernel(
     #   colsT*     (T, 4) block     [x y z 1]: action-matmul rhs (window i+s)
     #   out_row    (T, 8) block     action sums (accumulated over s)
     #   out_col    (8, 2N) resident reaction sums (tail folded outside)
-    # "f32" mode passes one f32 copy of each coordinate panel; "bf16x3"
-    # passes pre-split hi/lo bf16 copies.
-    if bf16x3:
-        (posm_ref, cols_ref, centers_ref, rows1_hi_ref, rows1_lo_ref,
-         colsT_hi_ref, colsT_lo_ref, out_row_ref, out_col_ref) = refs
-    else:
-        (posm_ref, cols_ref, centers_ref, rows1_f32_ref, colsT_f32_ref,
-         out_row_ref, out_col_ref) = refs
+    # Diagonals s <= near_s use exact-f32 dots (f32 panels); s > near_s use
+    # the three-pass bf16 dots (pre-split hi/lo panels). Only the panel
+    # copies a mode can touch are passed in.
+    use_f32 = near_s >= 0
+    use_fast = near_s < s_max
+    it = iter(refs)
+    posm_ref, cols_ref, centers_ref = next(it), next(it), next(it)
+    if use_f32:
+        rows1_f32_ref, colsT_f32_ref = next(it), next(it)
+    if use_fast:
+        rows1_hi_ref, rows1_lo_ref = next(it), next(it)
+        colsT_hi_ref, colsT_lo_ref = next(it), next(it)
+    out_row_ref, out_col_ref = next(it), next(it)
     i = pl.program_id(0)
     s = pl.program_id(1)
     t = tile
@@ -123,7 +128,7 @@ def _symmetric_kernel(
     else:
         active = s <= s_max
 
-    def tile_body(masked: bool):
+    def tile_body(masked: bool, fast: bool):
         ro = pl.multiple_of(i * t, t)
         co = pl.multiple_of((i + s) * t, t)
         xi = posm_ref[:, 0:1]                     # (T, 1)
@@ -155,7 +160,7 @@ def _symmetric_kernel(
         a_w = mj * u                              # action weights (T, T)
         b_w = mi * u                              # reaction weights (T, T)
         # Action on row bodies: one MXU contraction for all 4 reductions.
-        if bf16x3:
+        if fast:
             a_hi, a_lo = _split_bf16(a_w)
             s_row = _dot_bf16x3(a_hi, a_lo, colsT_hi_ref[...], colsT_lo_ref[...])
         else:
@@ -181,7 +186,7 @@ def _symmetric_kernel(
             out_row_ref[...] += upd
 
         # Reaction on column bodies: lhs = (4, T) [xi; yi; zi; 1].
-        if bf16x3:
+        if fast:
             b_hi, b_lo = _split_bf16(b_w)
             s_col = _dot_bf16x3(rows1_hi_ref[:, pl.ds(ro, t)],
                                 rows1_lo_ref[:, pl.ds(ro, t)], b_hi, b_lo)
@@ -196,13 +201,24 @@ def _symmetric_kernel(
         cupd = jnp.concatenate([cx, cy, cz, jnp.zeros((5, t), f32)], axis=0)
         out_col_ref[:, pl.ds(co, t)] += cupd
 
+    diag_fast = not use_f32
+
     @pl.when(s == 0)
     def _():
-        tile_body(masked=True)
+        tile_body(masked=True, fast=diag_fast)
 
-    @pl.when(jnp.logical_and(active, s > 0))
-    def _():
-        tile_body(masked=False)
+    if use_f32 and use_fast:
+        @pl.when(jnp.logical_and(active, jnp.logical_and(s > 0, s <= near_s)))
+        def _():
+            tile_body(masked=False, fast=False)
+
+        @pl.when(jnp.logical_and(active, s > near_s))
+        def _():
+            tile_body(masked=False, fast=True)
+    else:
+        @pl.when(jnp.logical_and(active, s > 0))
+        def _():
+            tile_body(masked=False, fast=diag_fast)
 
     # Inactive steps (the duplicated half of an even-K final diagonal) must
     # still keep the row accumulator defined: it was initialized at s == 0.
@@ -238,15 +254,18 @@ def symmetric_acc(
     n = pos.shape[0]
     if n % tile:
         raise ValueError(f"symmetric_acc: N={n} must be a multiple of tile={tile}")
-    if precision not in ("f32", "bf16x3"):
+    if precision not in ("f32", "bf16x3", "mixed"):
         raise ValueError(f"unknown precision {precision!r}")
-    bf16x3 = precision == "bf16x3"
     k = n // tile
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     even_k = k % 2 == 0
     s_max = k // 2 if even_k else (k - 1) // 2
+    # Diagonals s <= near_s run exact-f32 dots; the rest run bf16x3.
+    near_s = {"f32": s_max, "bf16x3": -1, "mixed": min(1, s_max)}[precision]
+    use_f32 = near_s >= 0
+    use_fast = near_s < s_max
 
     f32 = jnp.float32
     c2 = compensate * compensate
@@ -274,20 +293,22 @@ def symmetric_acc(
     col_panel = pl.BlockSpec(
         (tile, 4), lambda i, s: (i + s, 0), memory_space=pltpu.VMEM
     )
-    if bf16x3:
+    inputs = [posm, cols2, centers4]
+    in_specs = [row_panel, vmem, vmem]
+    if use_f32:
+        inputs += [rows1, colsT2]
+        in_specs += [vmem, col_panel]
+    if use_fast:
         rows1_hi, rows1_lo = _split_bf16(rows1)
         colsT2_hi, colsT2_lo = _split_bf16(colsT2)
-        inputs = (posm, cols2, centers4, rows1_hi, rows1_lo, colsT2_hi, colsT2_lo)
-        in_specs = [row_panel, vmem, vmem, vmem, vmem, col_panel, col_panel]
-    else:
-        inputs = (posm, cols2, centers4, rows1, colsT2)
-        in_specs = [row_panel, vmem, vmem, vmem, col_panel]
+        inputs += [rows1_hi, rows1_lo, colsT2_hi, colsT2_lo]
+        in_specs += [vmem, vmem, col_panel, col_panel]
 
     out_row, out_col = pl.pallas_call(
         functools.partial(
             _symmetric_kernel,
             c2=float(c2), eps2=float(eps2), tile=tile, k_blocks=k,
-            s_max=s_max, even_k=even_k, bf16x3=bf16x3,
+            s_max=s_max, even_k=even_k, near_s=near_s,
         ),
         grid=(k, s_max + 1),
         in_specs=in_specs,
