@@ -17,7 +17,6 @@ snap exports land in ``--out``.
 from __future__ import annotations
 
 import argparse
-import json
 import pathlib
 import sys
 

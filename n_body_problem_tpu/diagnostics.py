@@ -87,9 +87,19 @@ def center_of_mass(state: SimState) -> jax.Array:
     return jnp.sum(m * state.pos, axis=0) / jnp.maximum(total, 1e-30)
 
 
-def max_abs(state: SimState) -> jax.Array:
+def max_abs(state: SimState, count: int | None = None) -> jax.Array:
     """max |x|, |y|, |z|, |mass| over real bodies (``findMaxAbsValues`` role,
-    ``kernel.cu:938-965`` — without its hardcoded-20225-count quirk Q2)."""
+    ``kernel.cu:938-965``).
+
+    ``count`` scans exactly the first ``count`` bodies regardless of
+    ``n_real`` — the reference hardcodes 20225 at its callsite
+    (``kernel.cu:1130``, quirk Q2); here the count is clamped to N instead
+    of reading out of bounds."""
+    if count is not None:
+        k = min(count, state.n)
+        pm = jnp.abs(state.pos[:k])
+        mm = jnp.abs(state.mass[:k])
+        return jnp.concatenate([jnp.max(pm, axis=0), jnp.max(mm)[None]])
     w = _mask(state)
     pm = jnp.abs(state.pos) * w[:, None]
     mm = jnp.abs(state.mass) * w

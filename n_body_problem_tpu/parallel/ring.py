@@ -17,7 +17,6 @@ transfer entirely for realistic shard sizes.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -11,10 +11,9 @@ from __future__ import annotations
 
 import functools
 import time as _time
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 from n_body_problem_tpu.config import SimConfig
