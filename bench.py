@@ -63,20 +63,17 @@ def main() -> None:
     pairs_per_sec = (n_padded * n_padded) * args.steps / dt
 
     # Second half of the BASELINE metric: ms/step including a rendered frame
-    # (the reference integrates exactly once per rendered frame).
-    from n_body_problem_tpu.render import OrbitCamera, render_state
+    # (the reference integrates exactly once per rendered frame). Fused
+    # step+render inside one scanned device program (Simulation.movie).
+    from n_body_problem_tpu.render import OrbitCamera
 
     cam = OrbitCamera(distance=2.0)
-    def step_and_render():
-        sim.run(1)
-        return render_state(sim.state, cam, width=1024, height=768)
-    frame = step_and_render()
-    float(np.asarray(frame[0, 0, 0]))  # compile + sync
+    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=768)
+    float(np.asarray(frames[0, 0, 0, 0]))  # compile + sync
     t0 = time.perf_counter()
-    for _ in range(5):
-        frame = step_and_render()
-    float(np.asarray(frame[0, 0, 0]))
-    ms_with_render = (time.perf_counter() - t0) / 5 * 1e3
+    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=768)
+    float(np.asarray(frames[0, 0, 0, 0]))
+    ms_with_render = (time.perf_counter() - t0) / 10 * 1e3
 
     baseline = 2.6e11  # RTX 4090 derived directed interactions/s (BASELINE.md)
     print(f"bench: {ms_per_step:.3f} ms/step, {pairs_per_sec:.3e} pairs/s",

@@ -14,6 +14,7 @@ import time as _time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 
 from n_body_problem_tpu.config import SimConfig
@@ -59,6 +60,39 @@ def run_trajectory(
     return lax.scan(outer, state, length=n_steps // save_every)
 
 
+def run_with_frames(
+    state: SimState,
+    step_fn: StepFn,
+    n_steps: int,
+    render_every: int,
+    view_projection: jax.Array,
+    scale_factors: jax.Array,
+    width: int,
+    height: int,
+) -> tuple[SimState, jax.Array]:
+    """Advance ``n_steps``, rendering a frame every ``render_every`` steps
+    *inside* the scan — the whole movie is one device program (the
+    reference's step+draw frame loop, kernel.cu:1191-1282, without any of
+    its four per-frame host round-trips). Camera matrices are traced
+    arguments, so moving the camera between calls does not recompile.
+    Returns (state, frames[F, H, W, 3]).
+    """
+    from n_body_problem_tpu.render.splat import splat_frame
+
+    if n_steps % render_every:
+        raise ValueError("n_steps must be a multiple of render_every")
+
+    def outer(s, _):
+        s = run_steps(s, step_fn, render_every)
+        frame = splat_frame(
+            s.pos, s.mass, s.real_mask(), view_projection, scale_factors,
+            width=width, height=height,
+        )
+        return s, frame
+
+    return lax.scan(outer, state, length=n_steps // render_every)
+
+
 class Simulation:
     """Stateful convenience wrapper with jit + donation caching.
 
@@ -100,6 +134,9 @@ class Simulation:
         self._jit_traj = jax.jit(
             run_trajectory, static_argnums=(1, 2, 3), donate_argnums=donate
         )
+        self._jit_movie = jax.jit(
+            run_with_frames, static_argnums=(1, 2, 3, 6, 7), donate_argnums=donate
+        )
         self.wall_seconds = 0.0
 
     @property
@@ -119,6 +156,27 @@ class Simulation:
         self.state.block_until_ready()
         self.wall_seconds += _time.perf_counter() - t0
         return hist
+
+    def movie(
+        self,
+        n_steps: int,
+        render_every: int,
+        camera,
+        scale_factors=(0.0, 0.0, 0.0),
+        *,
+        width: int = 1024,
+        height: int = 768,
+    ) -> jax.Array:
+        """Simulate + render on device in one program; (F, H, W, 3) frames."""
+        import numpy as _np
+
+        vp = jnp.asarray(camera.view_projection())
+        scales = jnp.asarray(_np.asarray(scale_factors, _np.float32))
+        self.state, frames = self._jit_movie(
+            self.state, self._step_fn, n_steps, render_every, vp, scales,
+            width, height,
+        )
+        return frames
 
     # ------------------------------------------------------------ metrics
     def pairs_per_step(self) -> int:

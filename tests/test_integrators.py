@@ -94,3 +94,16 @@ def test_trajectory_collection():
     hist = sim.trajectory(20, save_every=5)
     assert hist.shape == (4, 64, 3)
     assert int(sim.state.step) == 20
+
+
+def test_device_movie():
+    """Simulate + render inside one scan: frames stack on device."""
+    from n_body_problem_tpu.render import OrbitCamera
+
+    cfg = SimConfig(solver="direct", dt=0.01)
+    sim = Simulation(cfg, models.plummer(64, seed=7))
+    frames = sim.movie(20, render_every=5, camera=OrbitCamera(distance=3.0),
+                       width=64, height=48)
+    assert frames.shape == (4, 48, 64, 3)
+    assert int(sim.state.step) == 20
+    assert float(jnp.max(frames)) > 0.0
