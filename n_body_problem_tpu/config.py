@@ -57,8 +57,9 @@ class SimConfig:
     pallas_tile_j: int = 1024  # Pallas column tile (lane dim)
     pallas_sym_tile: int = 512          # symmetric-kernel square tile
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
-    morton_sort: bool = False  # Z-order bodies at init (tile locality; makes
-                               # bf16x3 accumulation panels accurate)
+    morton_sort: bool = False  # Z-order bodies at init (tile locality)
+    resort_every: int = 0      # re-sort every N steps during long runs
+                               # (0 = never; implies morton_sort behaviour)
     dtype: str = "float32"
     donate: bool = True        # donate state buffers through jitted scans
 

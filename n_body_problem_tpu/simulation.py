@@ -145,10 +145,39 @@ class Simulation:
 
     def run(self, n_steps: int) -> SimState:
         t0 = _time.perf_counter()
-        self.state = self._jit_run(self.state, self._step_fn, n_steps)
+        r = self.cfg.resort_every
+        if r > 0:
+            done = 0
+            while done < n_steps:
+                todo = min(r - int(self.state.step) % r or r, n_steps - done)
+                self.state = self._jit_run(self.state, self._step_fn, todo)
+                done += todo
+                if int(self.state.step) % r == 0:
+                    self._resort()
+        else:
+            self.state = self._jit_run(self.state, self._step_fn, n_steps)
         self.state.block_until_ready()
         self.wall_seconds += _time.perf_counter() - t0
         return self.state
+
+    def _resort(self) -> None:
+        """Re-Morton-order bodies (spatial locality decays as bodies move).
+
+        Permutation-invariant physics; ``sort_perm`` is updated so callers
+        can still map back to the original body order.
+        """
+        import numpy as _np
+
+        from n_body_problem_tpu.utils.morton import apply_permutation, morton_argsort
+
+        k = self.state.n_real
+        perm_real = morton_argsort(_np.asarray(self.state.pos[:k]))
+        perm = _np.concatenate([perm_real, _np.arange(k, self.state.n)])
+        self.state = apply_permutation(self.state, perm)
+        if self.sort_perm is None:
+            self.sort_perm = perm_real
+        else:
+            self.sort_perm = _np.asarray(self.sort_perm)[perm_real]
 
     def trajectory(self, n_steps: int, save_every: int = 1) -> jax.Array:
         t0 = _time.perf_counter()

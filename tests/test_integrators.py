@@ -107,3 +107,26 @@ def test_device_movie():
     assert frames.shape == (4, 48, 64, 3)
     assert int(sim.state.step) == 20
     assert float(jnp.max(frames)) > 0.0
+
+
+def test_leapfrog_second_order_convergence():
+    """Halving dt must cut leapfrog's energy error ~4x (2nd order);
+    semi-implicit Euler only ~2x (1st order)."""
+    from n_body_problem_tpu import diagnostics as diag
+
+    state0 = models.plummer(64, seed=12)
+    t_total = 0.64
+
+    def drift(integrator, dt):
+        cfg = SimConfig(solver="direct", integrator=integrator, dt=dt)
+        sim = Simulation(cfg, models.plummer(64, seed=12))
+        e0 = float(diag.total_energy(sim.state, cfg))
+        sim.run(int(round(t_total / dt)))
+        e1 = float(diag.total_energy(sim.state, cfg))
+        return abs((e1 - e0) / e0)
+
+    lf_coarse, lf_fine = drift("leapfrog", 0.008), drift("leapfrog", 0.004)
+    assert lf_coarse / max(lf_fine, 1e-12) > 2.5  # ~4 expected
+
+    eu_coarse, eu_fine = drift("semi_implicit_euler", 0.008), drift("semi_implicit_euler", 0.004)
+    assert eu_coarse / max(eu_fine, 1e-12) > 1.4  # ~2 expected

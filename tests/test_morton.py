@@ -55,3 +55,22 @@ def test_apply_permutation_roundtrip():
     inv = np.argsort(perm)
     s3 = apply_permutation(s2, inv)
     np.testing.assert_array_equal(np.asarray(s3.pos), np.asarray(state.pos))
+
+
+def test_periodic_resort_preserves_physics():
+    from n_body_problem_tpu import diagnostics as diag
+
+    base = SimConfig(solver="direct", integrator="leapfrog", dt=0.005)
+    a = Simulation(base, models.plummer(200, seed=11))
+    b = Simulation(base.replace(morton_sort=True, resort_every=10),
+                   models.plummer(200, seed=11))
+    a.run(30)
+    b.run(30)
+    ea = float(diag.total_energy(a.state, base))
+    eb = float(diag.total_energy(b.state, base))
+    assert eb == pytest.approx(ea, rel=1e-5)
+    # unsort maps back to the original body identity
+    k = b.state.n_real
+    unsorted = np.empty_like(np.asarray(b.state.pos[:k]))
+    unsorted[b.sort_perm] = np.asarray(b.state.pos[:k])
+    np.testing.assert_allclose(unsorted, np.asarray(a.state.pos[:k]), rtol=1e-3, atol=1e-4)
