@@ -22,7 +22,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1)
     # Flagship: the symmetric half-pair kernel (the reference report's
     # acceleration method, TPU-native). "auto" (= blocked all-pairs Pallas)
     # is the fallback for shapes beyond the resident kernel's VMEM budget.

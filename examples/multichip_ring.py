@@ -1,19 +1,33 @@
 """Multi-chip particle sharding demo (runs on a virtual CPU mesh too).
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python examples/multichip_ring.py
+    NBODY_CPU_DEVICES=8 python examples/multichip_ring.py
+
+(The env knob is handled below: some environments force-register their own
+backend and ignore JAX_PLATFORMS, so the example switches platforms through
+jax.config like tests/conftest.py does.)
 """
 
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+_n_cpu = os.environ.get("NBODY_CPU_DEVICES")
+if _n_cpu:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_n_cpu}"
+    ).strip()
+
 import jax
 
+if _n_cpu:
+    jax.config.update("jax_platforms", "cpu")
+
 if jax.device_count() == 1:
-    # Sandbox convenience: fall back to the local platform's single device.
-    print(f"note: only 1 device ({jax.devices()[0]}); mesh of 1")
+    print(f"note: only 1 device ({jax.devices()[0]}); mesh of 1 "
+          f"(set NBODY_CPU_DEVICES=8 for a virtual mesh)")
 
 import n_body_problem_tpu as nb
 from n_body_problem_tpu.parallel import ShardedSimulation, make_ring_mesh

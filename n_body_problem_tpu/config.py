@@ -58,8 +58,9 @@ class SimConfig:
     pallas_sym_tile: int = 512          # symmetric-kernel square tile
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
-    resort_every: int = 0      # re-sort every N steps during long runs
-                               # (0 = never; implies morton_sort behaviour)
+    resort_every: int = 0      # >0: sort at init AND re-sort every N steps
+                               # of Simulation.run (trajectory/movie are
+                               # single device programs and never re-sort)
     dtype: str = "float32"
     donate: bool = True        # donate state buffers through jitted scans
 

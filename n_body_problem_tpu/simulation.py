@@ -109,15 +109,14 @@ class Simulation:
         self.cfg = cfg
         self.backend = backend
         self.sort_perm = None
-        if cfg.morton_sort:
-            import numpy as _np
-
+        self.state = state
+        if cfg.morton_sort or cfg.resort_every > 0:
             from n_body_problem_tpu.state import unpad_state
-            from n_body_problem_tpu.utils.morton import apply_permutation, morton_argsort
 
-            real = unpad_state(state) if state.n != state.n_real else state
-            self.sort_perm = morton_argsort(_np.asarray(real.pos))
-            state = apply_permutation(real, self.sort_perm)
+            if state.n != state.n_real:
+                self.state = unpad_state(state)
+            self._resort()
+        state = self.state
         solver = resolve_solver(cfg.solver, backend)
         need = required_padding(
             solver, state.n, cfg.block_size, cfg.pallas_tile_i,
@@ -144,16 +143,21 @@ class Simulation:
         return self._step_fn
 
     def run(self, n_steps: int) -> SimState:
+        """Advance n_steps. With ``cfg.resort_every = r`` the call runs in
+        fixed chunks of r steps with a Morton re-sort between them (at most
+        two distinct scan lengths compile: r and the remainder). Note:
+        :meth:`trajectory` and :meth:`movie` are single device programs and
+        deliberately do NOT re-sort mid-run."""
         t0 = _time.perf_counter()
         r = self.cfg.resort_every
         if r > 0:
             done = 0
-            while done < n_steps:
-                todo = min(r - int(self.state.step) % r or r, n_steps - done)
-                self.state = self._jit_run(self.state, self._step_fn, todo)
-                done += todo
-                if int(self.state.step) % r == 0:
-                    self._resort()
+            while n_steps - done >= r:
+                self.state = self._jit_run(self.state, self._step_fn, r)
+                self._resort()
+                done += r
+            if n_steps - done:
+                self.state = self._jit_run(self.state, self._step_fn, n_steps - done)
         else:
             self.state = self._jit_run(self.state, self._step_fn, n_steps)
         self.state.block_until_ready()

@@ -114,7 +114,6 @@ def test_leapfrog_second_order_convergence():
     semi-implicit Euler only ~2x (1st order)."""
     from n_body_problem_tpu import diagnostics as diag
 
-    state0 = models.plummer(64, seed=12)
     t_total = 0.64
 
     def drift(integrator, dt):
