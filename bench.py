@@ -68,10 +68,10 @@ def main() -> None:
     from n_body_problem_tpu.render import OrbitCamera
 
     cam = OrbitCamera(distance=2.0)
-    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=768)
+    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=1024)
     float(np.asarray(frames[0, 0, 0, 0]))  # compile + sync
     t0 = time.perf_counter()
-    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=768)
+    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=1024)
     float(np.asarray(frames[0, 0, 0, 0]))
     ms_with_render = (time.perf_counter() - t0) / 10 * 1e3
 
