@@ -89,9 +89,10 @@ def _force_kernel(
 @functools.partial(
     jax.jit, static_argnames=("eps2", "compensate", "G", "tile_i", "tile_j", "interpret")
 )
-def pallas_acc(
-    pos: jax.Array,
-    mass: jax.Array,
+def pallas_block_acc(
+    pos_i: jax.Array,
+    pos_j: jax.Array,
+    mass_j: jax.Array,
     *,
     eps2: float,
     compensate: float = 0.1,
@@ -100,28 +101,37 @@ def pallas_acc(
     tile_j: int = DEFAULT_TILE_J,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """acc (N, 3) from pos (N, 3) and mass (N,). N must divide by both tiles."""
-    n = pos.shape[0]
-    if n % tile_i or n % tile_j:
+    """acc (Ni, 3) of the row-block bodies due to every column-block body.
+
+    The general block-pair form: ``pos_i`` and ``pos_j`` may be the same
+    array (the classic all-pairs solve, :func:`pallas_acc`) or different
+    blocks — the latter is the multi-chip ring's local tile operation
+    (resident bodies vs the visiting packet). Ni must divide by ``tile_i``
+    and Nj by ``tile_j``.
+    """
+    ni = pos_i.shape[0]
+    nj = pos_j.shape[0]
+    if ni % tile_i or nj % tile_j:
         raise ValueError(
-            f"pallas_acc: N={n} must be a multiple of tile_i={tile_i} and "
-            f"tile_j={tile_j}; pad the state first"
+            f"pallas_block_acc: Ni={ni} must divide tile_i={tile_i} and "
+            f"Nj={nj} tile_j={tile_j}; pad the state first"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     f32 = jnp.float32
     c2 = compensate * compensate
-    pos = pos.astype(f32)
-    xi = pos[:, 0:1]
-    yi = pos[:, 1:2]
-    zi = pos[:, 2:3]
-    xj = pos[:, 0].reshape(1, n)
-    yj = pos[:, 1].reshape(1, n)
-    zj = pos[:, 2].reshape(1, n)
-    mj = (mass.astype(f32) * f32(G * c2 * compensate)).reshape(1, n)
+    pos_i = pos_i.astype(f32)
+    pos_j = pos_j.astype(f32)
+    xi = pos_i[:, 0:1]
+    yi = pos_i[:, 1:2]
+    zi = pos_i[:, 2:3]
+    xj = pos_j[:, 0].reshape(1, nj)
+    yj = pos_j[:, 1].reshape(1, nj)
+    zj = pos_j[:, 2].reshape(1, nj)
+    mj = (mass_j.astype(f32) * f32(G * c2 * compensate)).reshape(1, nj)
 
-    grid = (n // tile_i, n // tile_j)
+    grid = (ni // tile_i, nj // tile_j)
     col = lambda ti: pl.BlockSpec((ti, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     row = lambda tj: pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
@@ -133,13 +143,18 @@ def pallas_acc(
             row(tile_j), row(tile_j), row(tile_j), row(tile_j),
         ],
         out_specs=pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 8), f32),
+        out_shape=jax.ShapeDtypeStruct((ni, 8), f32),
         scratch_shapes=[pltpu.VMEM((tile_i, tile_j), f32)] * 3,
         cost_estimate=pl.CostEstimate(
-            flops=15 * n * n,
-            bytes_accessed=7 * n * 4 + n * 8 * 4,
-            transcendentals=n * n,
+            flops=15 * ni * nj,
+            bytes_accessed=(3 * ni + 4 * nj) * 4 + ni * 8 * 4,
+            transcendentals=ni * nj,
         ),
         interpret=interpret,
     )(xi, yi, zi, xj, yj, zj, mj)
     return out[:, :3]
+
+
+def pallas_acc(pos: jax.Array, mass: jax.Array, **kw) -> jax.Array:
+    """acc (N, 3) from pos (N, 3) and mass (N,) — all-pairs block solve."""
+    return pallas_block_acc(pos, pos, mass, **kw)

@@ -30,6 +30,39 @@ from n_body_problem_tpu.parallel.mesh import RING_AXIS
 from n_body_problem_tpu.state import SimState
 
 
+RING_PALLAS_TILE = 256
+
+
+def _resolve_local_solver(local_solver: str) -> str:
+    if local_solver == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if local_solver not in ("xla", "pallas"):
+        raise ValueError(f"unknown local_solver {local_solver!r}")
+    return local_solver
+
+
+def _block_force(local_solver: str):
+    """(pos_i, pos_j, mass_j, **fkw) -> acc_i for one ring stage.
+
+    ``pallas`` runs the blocked TPU kernel per stage (shard size must be a
+    multiple of RING_PALLAS_TILE); ``xla`` is the broadcast fallback that
+    runs everywhere.
+    """
+    if local_solver == "pallas":
+        from n_body_problem_tpu.ops.pallas_force import pallas_block_acc
+
+        def f(pos_i, pos_j, mass_j, **fkw):
+            return pallas_block_acc(
+                pos_i, pos_j, mass_j,
+                tile_i=RING_PALLAS_TILE, tile_j=RING_PALLAS_TILE, **fkw,
+            )
+
+        return f
+    return lambda pos_i, pos_j, mass_j, **fkw: pair_accel_tile(
+        pos_i, pos_j, mass_j, **fkw
+    )
+
+
 def ring_acc(
     pos_local: jax.Array,   # (B, 3) this shard's bodies
     mass_local: jax.Array,  # (B,)
@@ -38,16 +71,17 @@ def ring_acc(
     eps2: float,
     compensate: float = 0.1,
     G: float = 1.0,
+    local_solver: str = "xla",
 ) -> jax.Array:
     """Acceleration of local bodies from ALL bodies (inside ``shard_map``)."""
     n_shards = lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    force = _block_force(_resolve_local_solver(local_solver))
+    fkw = dict(eps2=eps2, compensate=compensate, G=G)
 
     def stage(carry, _):
         acc, pos_vis, mass_vis = carry
-        acc = acc + pair_accel_tile(
-            pos_local, pos_vis, mass_vis, eps2=eps2, compensate=compensate, G=G
-        )
+        acc = acc + force(pos_local, pos_vis, mass_vis, **fkw)
         pos_vis, mass_vis = lax.ppermute((pos_vis, mass_vis), axis_name, perm)
         return (acc, pos_vis, mass_vis), None
 
@@ -64,6 +98,7 @@ def half_ring_acc(
     eps2: float,
     compensate: float = 0.1,
     G: float = 1.0,
+    local_solver: str = "xla",
 ) -> jax.Array:
     """Symmetric (Newton's 3rd law) ring: each unordered *block pair* is
     evaluated on exactly one chip.
@@ -80,10 +115,12 @@ def half_ring_acc(
     """
     from n_body_problem_tpu.ops.forces import pair_accel_tile_symmetric
 
+    solver = _resolve_local_solver(local_solver)
+    block = _block_force(solver)
     n_shards = lax.axis_size(axis_name)
     fkw = dict(eps2=eps2, compensate=compensate, G=G)
     # Stage 0: the local block against itself (self-pairs contribute zero).
-    acc = pair_accel_tile(pos_local, pos_local, mass_local, **fkw)
+    acc = block(pos_local, pos_local, mass_local, **fkw)
     if n_shards == 1:
         return acc
 
@@ -98,9 +135,16 @@ def half_ring_acc(
             (pos_v, mass_v, react_v), axis_name, fwd
         )
         # After s hops the packet on this chip belongs to shard (me - s).
-        a_local, a_visit = pair_accel_tile_symmetric(
-            pos_local, mass_local, pos_v, mass_v, **fkw
-        )
+        if solver == "pallas":
+            # Two blocked kernel calls (action + reaction). The XLA path
+            # shares the distance/rsqrt work between halves; the Pallas
+            # kernel's per-pair efficiency more than covers recomputing it.
+            a_local = block(pos_local, pos_v, mass_v, **fkw)
+            a_visit = block(pos_v, pos_local, mass_local, **fkw)
+        else:
+            a_local, a_visit = pair_accel_tile_symmetric(
+                pos_local, mass_local, pos_v, mass_v, **fkw
+            )
         if even:
             gate = jnp.where(
                 jnp.logical_or(s < s_last, me < n_shards // 2), 1.0, 0.0
@@ -145,6 +189,7 @@ def make_sharded_step(
     mesh: Mesh,
     axis_name: str = RING_AXIS,
     strategy: str = "ring",
+    local_solver: str = "xla",
 ) -> Callable:
     """One integration step over sharded state: ``state -> state``.
 
@@ -155,12 +200,17 @@ def make_sharded_step(
     ``strategy``: ``"ring"`` (every chip sweeps all tiles) or
     ``"half_ring"`` (Newton's-3rd-law coverage, ~half the cross-chip pair
     work — the distributed version of the reference's report method).
+
+    ``local_solver``: ``"xla"`` (runs everywhere), ``"pallas"`` (the blocked
+    TPU kernel per ring stage; shard size must be a multiple of 256) or
+    ``"auto"``.
     """
     if strategy not in ("ring", "half_ring"):
         raise ValueError(f"unknown ring strategy {strategy!r}")
     force = ring_acc if strategy == "ring" else half_ring_acc
     dt = cfg.dt
-    fkw = dict(axis_name=axis_name, eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G)
+    fkw = dict(axis_name=axis_name, eps2=cfg.eps2, compensate=cfg.compensate,
+               G=cfg.G, local_solver=local_solver)
 
     def _euler(pos, vel, mass, acc_prev):
         acc = force(pos, mass, **fkw)
@@ -182,6 +232,9 @@ def make_sharded_step(
         mesh=mesh,
         in_specs=(row, row, row, row),
         out_specs=(row, row, row),
+        # Pallas calls inside shard_map can't annotate varying-mesh-axes
+        # metadata on their out_shapes yet; skip the check.
+        check_vma=False,
     )
 
     def step(state: SimState) -> SimState:

@@ -35,6 +35,7 @@ class ShardedSimulation:
         *,
         strategy: str = "ring",
         axis_name: str = RING_AXIS,
+        local_solver: str = "xla",
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_ring_mesh()
@@ -64,18 +65,20 @@ class ShardedSimulation:
 
             force = half_ring_acc if strategy == "half_ring" else ring_acc
             fkw = dict(axis_name=axis_name, eps2=cfg.eps2,
-                       compensate=cfg.compensate, G=cfg.G)
+                       compensate=cfg.compensate, G=cfg.G,
+                       local_solver=local_solver)
             row = P(axis_name)
             acc = jax.jit(jax.shard_map(
                 lambda p, m: force(p, m, **fkw),
                 mesh=self.mesh, in_specs=(row, row), out_specs=row,
+                check_vma=False,
             ))(self.state.pos, self.state.mass)
             self.state = SimState(
                 pos=self.state.pos, vel=self.state.vel, mass=self.state.mass,
                 eps=self.state.eps, acc=acc, time=self.state.time,
                 step=self.state.step, n_real=self.state.n_real,
             )
-        step = make_sharded_step(cfg, self.mesh, axis_name, strategy)
+        step = make_sharded_step(cfg, self.mesh, axis_name, strategy, local_solver)
 
         def run_steps(s: SimState, n: int) -> SimState:
             def body(carry, _):

@@ -110,3 +110,20 @@ def test_sharded_simulation_wrapper(mesh):
     )
     d = ssim.diagnostics()
     assert d["step"] == 10 and d["overspeed"] == 0
+
+
+@pytest.mark.parametrize("strategy", ["ring", "half_ring"])
+def test_pallas_local_solver_matches_xla(mesh, strategy):
+    """Ring with the Pallas block kernel as the per-stage tile op
+    (interpret mode on the CPU mesh) == the XLA tile op."""
+    state = pad_state(models.plummer(2000, seed=13), multiple=8 * 256)
+    cfg = SimConfig(solver="direct")
+    want = jax.jit(make_sharded_step(cfg, mesh, strategy=strategy))(
+        shard_state(state, mesh)
+    )
+    got = jax.jit(
+        make_sharded_step(cfg, mesh, strategy=strategy, local_solver="pallas")
+    )(shard_state(state, mesh))
+    np.testing.assert_allclose(
+        np.asarray(got.pos), np.asarray(want.pos), rtol=1e-5, atol=1e-6
+    )
