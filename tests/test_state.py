@@ -81,3 +81,17 @@ def test_config_roundtrip(tmp_path):
     assert cfg.eps2_effective == pytest.approx(1e-4)
     with pytest.raises(ValueError):
         SimConfig(solver="nope")
+
+
+def test_config_toml(tmp_path):
+    p = tmp_path / "cfg.toml"
+    p.write_text('dt = 0.002\nsolver = "blocked"\nintegrator = "leapfrog"\n')
+    cfg = SimConfig.from_file(p)
+    assert cfg.dt == 0.002 and cfg.solver == "blocked"
+
+
+def test_profiling_noop_trace(tmp_path):
+    from n_body_problem_tpu.utils.profiling import trace
+
+    with trace(None):
+        pass  # no-op path must not require a profiler session
