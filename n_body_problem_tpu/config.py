@@ -57,11 +57,11 @@ class SimConfig:
     pallas_tile_j: int = 1024  # Pallas column tile (lane dim)
     pallas_sym_tile: int = 512          # symmetric-kernel square tile
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
+    # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps
                                # of Simulation.run (trajectory/movie are
                                # single device programs and never re-sort)
-    dtype: str = "float32"
     donate: bool = True        # donate state buffers through jitted scans
 
     # --- guards / diagnostics (dev-history D4: project_develop_code.cu:1089-1091) ---

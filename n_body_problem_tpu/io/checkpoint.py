@@ -32,16 +32,15 @@ def load_checkpoint(
 ) -> tuple[SimState, SimConfig | None]:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
+        # acc restores the carried acceleration so leapfrog resumes
+        # seamlessly.
         state = make_state(
             z["pos"], z["vel"], z["mass"], z["eps"],
+            acc=z["acc"],
             n_real=int(z["n_real"]),
             time=float(z["time"]),
             step=int(z["step"]),
         )
-        # Restore the carried acceleration so leapfrog resumes seamlessly.
-        import jax.numpy as jnp
-
-        state.acc = jnp.asarray(z["acc"])
     cfg = SimConfig.from_dict(meta["config"]) if meta.get("config") else None
     return state, cfg
 

@@ -193,7 +193,12 @@ def mxu_acc(
         dz = z[None, :] - pos_i[:, 2:3]
         r2 = dx * dx + dy * dy + dz * dz
         w = _coef(mass[None, :], r2, eps2, c2, Gc3)    # (B, N) VPU
-        w = jnp.where(idx_i[:, None] == idx[None, :], 0.0, w)
+        # Zero self-pairs AND coincident pairs: d = 0 means the physical
+        # contribution is exactly zero, but the huge w would cancel only
+        # analytically between the two S terms below, wrecking fp32.
+        w = jnp.where(
+            jnp.logical_or(idx_i[:, None] == idx[None, :], r2 == 0.0), 0.0, w
+        )
         # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass; the S terms
         # cancel against each other, so bf16 rounding here is catastrophic.
         s = jnp.dot(w, p_ext, preferred_element_type=jnp.float32,

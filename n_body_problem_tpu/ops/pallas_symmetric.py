@@ -97,7 +97,7 @@ def _symmetric_kernel(
     # Ref layout (see symmetric_acc):
     #   posm_ref   (T, 4) block   [x y z m] row-body panel (sublane-major)
     #   cols_ref   (4, 2N) resident, [x y z m] lane-major, doubled for wrap
-    #   centers    (2K, 4) resident tile centroids (reaction panel centring)
+    #   centers    (K, 4) resident tile centroids (reaction panel centring)
     #   rows1*     (4, N) resident  [x y z 1]: reaction-matmul lhs
     #   out_row    (T, 8) block     action sums (lane-reduced at s == s_max)
     #   out_col    (8, 2N) resident reaction sums (tail folded outside)
@@ -283,9 +283,7 @@ def symmetric_acc(
     # Tile-centered accumulation panels (see kernel corrections).
     centers = jnp.mean(ps.reshape(k, tile, 3), axis=1)        # (K, 3)
     ps_c = (ps.reshape(k, tile, 3) - centers[:, None, :]).reshape(n, 3)
-    centers4 = jnp.concatenate(
-        [jnp.concatenate([centers, jnp.zeros((k, 1), f32)], axis=1)] * 2, axis=0
-    )                                                         # (2K, 4)
+    centers4 = jnp.concatenate([centers, jnp.zeros((k, 1), f32)], axis=1)  # (K, 4)
     pos1 = jnp.concatenate([ps_c, ones], axis=1)              # (N, 4) centered
     rows1 = pos1.T                                            # (4, N)
 

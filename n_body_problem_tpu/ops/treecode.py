@@ -108,17 +108,30 @@ def treecode_acc(
     # error WORSE (measured; the formula itself validates 10x better in the
     # convergent regime). Higher orders need a true opening-criterion
     # acceptance with variable-length near lists (future work).
-    d = com[None, :, :] - pos[:, None, :]                       # (N, K, 3)
-    r2 = jnp.sum(d * d, axis=-1)
-    inv = lax.rsqrt(c2 * r2 + eps2)
-    w = (gc3 * m_tot)[None, :] * (inv * inv * inv)              # (N, K)
-    body_tile = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] // tile
-    # (K, K) tile-level near mask, then per-body row lookup.
+    # (K, K) tile-level near mask.
     tile_near = jnp.any(
         near[:, :, None] == jnp.arange(k)[None, None, :], axis=1
     )                                                           # (K, K)
-    w = jnp.where(tile_near[body_tile], 0.0, w)
-    acc_far = jnp.einsum("nk,nkc->nc", w, d, precision=lax.Precision.HIGHEST)
+
+    # Chunk bodies so the (chunk, K, 3) broadcast never materializes an
+    # O(N*K) tensor for large N (1M bodies x 2048 tiles would be ~25 GB).
+    def far_chunk(args):
+        pos_c, mask_c = args                                    # (C,3), (C,K)
+        d = com[None, :, :] - pos_c[:, None, :]                 # (C, K, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        inv = lax.rsqrt(c2 * r2 + eps2)
+        w = (gc3 * m_tot)[None, :] * (inv * inv * inv)
+        w = jnp.where(mask_c, 0.0, w)
+        return jnp.einsum("nk,nkc->nc", w, d, precision=lax.Precision.HIGHEST)
+
+    body_tile = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] // tile
+    near_mask = tile_near[body_tile]                            # (N, K)
+    chunk = min(n, 8192)
+    acc_far = lax.map(
+        far_chunk,
+        (pos.reshape(n // chunk, chunk, 3),
+         near_mask.reshape(n // chunk, chunk, k)),
+    ).reshape(n, 3)
 
     # ---- near field: exact pair math against the gathered neighbour panel.
     p_tiles = pos.reshape(k, tile, 3)

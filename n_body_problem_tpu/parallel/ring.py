@@ -79,14 +79,18 @@ def ring_acc(
     force = _block_force(_resolve_local_solver(local_solver))
     fkw = dict(eps2=eps2, compensate=compensate, G=G)
 
+    # Stage 0 consumes the local tile, then permute-then-compute for the
+    # remaining n_shards - 1 stages — no wasted final rotation.
+    acc = force(pos_local, pos_local, mass_local, **fkw)
+
     def stage(carry, _):
         acc, pos_vis, mass_vis = carry
-        acc = acc + force(pos_local, pos_vis, mass_vis, **fkw)
         pos_vis, mass_vis = lax.ppermute((pos_vis, mass_vis), axis_name, perm)
+        acc = acc + force(pos_local, pos_vis, mass_vis, **fkw)
         return (acc, pos_vis, mass_vis), None
 
-    init = (jnp.zeros_like(pos_local), pos_local, mass_local)
-    (acc, _, _), _ = lax.scan(stage, init, length=n_shards)
+    init = (acc, pos_local, mass_local)
+    (acc, _, _), _ = lax.scan(stage, init, length=n_shards - 1)
     return acc
 
 

@@ -23,7 +23,6 @@ from n_body_problem_tpu.config import SimConfig
 from n_body_problem_tpu.parallel.mesh import RING_AXIS, make_ring_mesh
 from n_body_problem_tpu.parallel.ring import make_sharded_step, shard_state
 from n_body_problem_tpu.state import SimState, pad_state
-from n_body_problem_tpu.utils.padding import round_up
 
 
 class ShardedSimulation:
@@ -53,7 +52,7 @@ class ShardedSimulation:
             real = unpad_state(state) if state.n != state.n_real else state
             state = apply_permutation(real, morton_argsort(_np.asarray(real.pos)))
         if state.n % n_dev:
-            state = pad_state(state, multiple=round_up(state.n, n_dev))
+            state = pad_state(state, multiple=n_dev)
         self.state = shard_state(state, self.mesh)
 
         if cfg.integrator == "leapfrog":

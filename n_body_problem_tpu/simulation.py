@@ -104,7 +104,7 @@ class Simulation:
     def __init__(self, cfg: SimConfig, state: SimState, backend: str | None = None):
         from n_body_problem_tpu.ops.forces import required_padding
         from n_body_problem_tpu.ops.registry import resolve_solver
-        from n_body_problem_tpu.state import pad_state
+        from n_body_problem_tpu.state import pad_state_to
 
         self.cfg = cfg
         self.backend = backend
@@ -123,7 +123,7 @@ class Simulation:
             cfg.pallas_tile_j, cfg.pallas_sym_tile,
         )
         if state.n < need:
-            state = pad_state(state, multiple=need)
+            state = pad_state_to(state, need)
         if cfg.integrator == "leapfrog":
             state = jax.jit(functools.partial(prime_leapfrog, force_fn=make_force_fn(cfg, backend)))(state)
         self.state = state
@@ -154,8 +154,9 @@ class Simulation:
             done = 0
             while n_steps - done >= r:
                 self.state = self._jit_run(self.state, self._step_fn, r)
-                self._resort()
                 done += r
+                if done < n_steps:  # skip the trailing sort: no steps follow
+                    self._resort()
             if n_steps - done:
                 self.state = self._jit_run(self.state, self._step_fn, n_steps - done)
         else:
@@ -205,10 +206,13 @@ class Simulation:
 
         vp = jnp.asarray(camera.view_projection())
         scales = jnp.asarray(_np.asarray(scale_factors, _np.float32))
+        t0 = _time.perf_counter()
         self.state, frames = self._jit_movie(
             self.state, self._step_fn, n_steps, render_every, vp, scales,
             width, height,
         )
+        self.state.block_until_ready()
+        self.wall_seconds += _time.perf_counter() - t0
         return frames
 
     # ------------------------------------------------------------ metrics

@@ -60,6 +60,10 @@ class SimState:
 
     def block_until_ready(self) -> "SimState":
         jax.block_until_ready((self.pos, self.vel))
+        # Some transport layers (e.g. the sandbox TPU relay) implement
+        # block_until_ready as a no-op; fetching the scalar step counter is
+        # a cheap, reliable execution barrier everywhere.
+        np.asarray(self.step)
         return self
 
 
@@ -69,12 +73,17 @@ def make_state(
     mass: Any,
     eps: Any | None = None,
     *,
+    acc: Any | None = None,
     n_real: int | None = None,
     time: float = 0.0,
     step: int = 0,
     dtype: Any = jnp.float32,
 ) -> SimState:
-    """Build a SimState from array-likes, validating shapes."""
+    """Build a SimState from array-likes, validating shapes.
+
+    ``acc`` (optional) restores a carried acceleration (checkpoint resume);
+    defaults to zeros, which the leapfrog primer refreshes.
+    """
     pos = jnp.asarray(pos, dtype=dtype)
     vel = jnp.asarray(vel, dtype=dtype)
     mass = jnp.asarray(mass, dtype=dtype)
@@ -91,12 +100,18 @@ def make_state(
         eps = jnp.asarray(eps, dtype=dtype)
         if eps.shape != (n,):
             raise ValueError(f"eps must be ({n},), got {eps.shape}")
+    if acc is None:
+        acc = jnp.zeros_like(pos)
+    else:
+        acc = jnp.asarray(acc, dtype=dtype)
+        if acc.shape != pos.shape:
+            raise ValueError(f"acc shape {acc.shape} != pos shape {pos.shape}")
     return SimState(
         pos=pos,
         vel=vel,
         mass=mass,
         eps=eps,
-        acc=jnp.zeros_like(pos),
+        acc=acc,
         time=jnp.asarray(time, dtype=dtype),
         step=jnp.asarray(step, dtype=jnp.int32),
         n_real=int(n if n_real is None else n_real),
@@ -133,6 +148,13 @@ def pad_state(state: SimState, multiple: int = 256, extra: int = 0) -> SimState:
         step=state.step,
         n_real=state.n_real,
     )
+
+
+def pad_state_to(state: SimState, n_total: int) -> SimState:
+    """Pad to an absolute body count (zero-mass bodies at the origin)."""
+    if n_total < state.n:
+        raise ValueError(f"cannot pad {state.n} bodies down to {n_total}")
+    return pad_state(state, multiple=1, extra=n_total - state.n)
 
 
 def unpad_state(state: SimState) -> SimState:
