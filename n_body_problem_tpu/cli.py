@@ -21,49 +21,64 @@ import pathlib
 import sys
 
 
+# Physics flags default to None sentinels so _build_config can tell "user
+# typed it" from "argparse default" — otherwise a --config file's (or a
+# resumed checkpoint's) physics would be silently clobbered by defaults.
+_PHYSICS_FLAGS = ("dt", "eps2", "compensate", "G", "solver", "integrator")
+
+
 def _add_physics_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--dt", type=float, default=0.008)
-    p.add_argument("--eps2", type=float, default=1e-6)
-    p.add_argument("--compensate", type=float, default=0.1)
-    p.add_argument("--g", type=float, default=1.0, dest="G")
-    p.add_argument("--solver", default="auto")
-    p.add_argument("--integrator", default="semi_implicit_euler",
-                   choices=["semi_implicit_euler", "leapfrog"])
+    p.add_argument("--dt", type=float, default=None, help="timestep (default 0.008)")
+    p.add_argument("--eps2", type=float, default=None,
+                   help="softening added to the scaled r^2 (default 1e-6)")
+    p.add_argument("--compensate", type=float, default=None,
+                   help="separation pre-scale (default 0.1)")
+    p.add_argument("--g", type=float, default=None, dest="G",
+                   help="gravitational constant (default 1)")
+    p.add_argument("--solver", default=None,
+                   help="force solver (default auto; see `info` for choices)")
+    p.add_argument("--integrator", default=None,
+                   choices=["semi_implicit_euler", "leapfrog"],
+                   help="(default semi_implicit_euler)")
     p.add_argument("--config", help="JSON/TOML config file (flags override)")
 
 
-def _build_config(args):
+def _build_config(args, base=None):
+    """Config precedence: checkpoint < --config file < explicit CLI flags."""
     from n_body_problem_tpu.config import SimConfig
 
-    if args.config:
-        cfg = SimConfig.from_file(args.config)
-        return cfg.replace(
-            dt=args.dt, eps2=args.eps2, compensate=args.compensate, G=args.G,
-            solver=args.solver, integrator=args.integrator,
-        )
-    return SimConfig(
-        dt=args.dt, eps2=args.eps2, compensate=args.compensate, G=args.G,
-        solver=args.solver, integrator=args.integrator,
-    )
+    if getattr(args, "config", None):
+        base = SimConfig.from_file(args.config)
+    if base is None:
+        base = SimConfig()
+    overrides = {
+        k: getattr(args, k) for k in _PHYSICS_FLAGS
+        if getattr(args, k, None) is not None
+    }
+    return base.replace(**overrides) if overrides else base
 
 
 def _load_initial_state(args):
+    """Returns (state, scale_factors, camera_distance, checkpoint_cfg|None)."""
     from n_body_problem_tpu.io.datasets import DATASETS, load_dataset
     from n_body_problem_tpu.models import make_model
 
     if args.resume:
         from n_body_problem_tpu.io.checkpoint import load_checkpoint
 
-        state, _ = load_checkpoint(args.resume)
-        return state, (0.0, 0.0, 0.0), 1.0
+        # The checkpoint's saved config is the base for resumed runs; the
+        # run continues with the physics it was created with unless flags
+        # explicitly override (ADVICE r1: it used to be discarded).
+        state, ck_cfg = load_checkpoint(args.resume)
+        return state, (0.0, 0.0, 0.0), 1.0, ck_cfg
     if args.model:
         state = make_model(args.model, args.n, seed=args.seed)
-        return state, (0.0, 0.0, 0.0), 1.0
+        return state, (0.0, 0.0, 0.0), 1.0, None
     state, spec = load_dataset(
         args.dataset, directory=args.data_dir, quirk_compat=args.quirk_compat,
         seed=args.seed,
     )
-    return state, spec.scale_factors, spec.camera_distance
+    return state, spec.scale_factors, spec.camera_distance, None
 
 
 def cmd_run(args) -> int:
@@ -75,10 +90,10 @@ def cmd_run(args) -> int:
     from n_body_problem_tpu.utils.metrics import StepTimer
     from n_body_problem_tpu.utils.profiling import trace
 
-    cfg = _build_config(args)
+    state, scales, cam_dist, ck_cfg = _load_initial_state(args)
+    cfg = _build_config(args, base=ck_cfg)
     if args.morton_sort:
         cfg = cfg.replace(morton_sort=True)
-    state, scales, cam_dist = _load_initial_state(args)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -107,7 +122,7 @@ def cmd_run(args) -> int:
         FrameWriter(out / "frames", exposure=args.exposure)
         if args.render_every else None
     )
-    timer = StepTimer(n_bodies=sim.state.n)
+    timer = StepTimer(n_bodies=sim.state.n_real)
 
     # A block must not straddle any output interval, or events get skipped.
     intervals = [v for v in (args.render_every, args.diag_every,
@@ -158,7 +173,7 @@ def cmd_run(args) -> int:
     wall = timer.total_time
     print(
         f"done: {args.steps} steps in {wall:.2f}s "
-        f"({sim.state.n * sim.state.n * args.steps / max(wall, 1e-9):.3e} pairs/s); "
+        f"({sim.pairs_per_step() * args.steps / max(wall, 1e-9):.3e} pairs/s); "
         f"outputs in {out}", file=sys.stderr,
     )
     return 0

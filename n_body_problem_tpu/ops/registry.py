@@ -19,21 +19,41 @@ from n_body_problem_tpu.ops import forces
 ForceFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
-def resolve_solver(solver: str, backend: str | None = None) -> str:
+# Largest N validated for the whole-problem-VMEM-resident symmetric kernel
+# on one v5e (547.7 ms/step at 262,144; see STATUS.md). Above this, `auto`
+# falls back to the streamed blocked kernel whose VMEM use is O(tile).
+SYMMETRIC_RESIDENT_CAP = 262_144
+
+
+def resolve_solver(solver: str, backend: str | None = None,
+                   n: int | None = None) -> str:
+    """Resolve ``"auto"`` to a concrete solver name.
+
+    On TPU the flagship is the symmetric half-pair kernel whenever the body
+    count fits its VMEM-resident envelope (or is unknown); beyond the cap it
+    falls back to the streamed blocked Pallas kernel. Elsewhere, the MXU
+    matmul formulation (the Pallas kernels only interpret off-TPU).
+    """
     if solver != "auto":
         return solver
     backend = backend or jax.default_backend()
-    return "pallas" if backend == "tpu" else "mxu"
+    if backend != "tpu":
+        return "mxu"
+    if n is None or n <= SYMMETRIC_RESIDENT_CAP:
+        return "pallas_symmetric"
+    return "pallas"
 
 
-def make_force_fn(cfg: SimConfig, backend: str | None = None) -> ForceFn:
+def make_force_fn(cfg: SimConfig, backend: str | None = None,
+                  n: int | None = None) -> ForceFn:
     """Build ``(pos, mass) -> acc`` for the configured solver.
 
     All returned functions require N to already satisfy the solver's padding
     (see :func:`n_body_problem_tpu.ops.forces.required_padding` and
-    :func:`n_body_problem_tpu.state.pad_state`).
+    :func:`n_body_problem_tpu.state.pad_state`). ``n`` only informs the
+    ``"auto"`` resolution; the returned function stays shape-generic.
     """
-    solver = resolve_solver(cfg.solver, backend)
+    solver = resolve_solver(cfg.solver, backend, n)
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G)
 
     if solver == "direct":

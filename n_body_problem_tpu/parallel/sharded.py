@@ -102,6 +102,15 @@ class ShardedSimulation:
         self.state = self._step(self.state)
         return self.state
 
+    # ------------------------------------------------------------ metrics
+    def pairs_per_step(self) -> int:
+        """Physical directed pair interactions per step (real bodies only)."""
+        k = self.state.n_real
+        return k * (k - 1)
+
+    def padded_pairs_per_step(self) -> int:
+        return self.state.n * self.state.n
+
     def diagnostics(self) -> dict:
         from n_body_problem_tpu import diagnostics as diag
 

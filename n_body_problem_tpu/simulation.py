@@ -25,9 +25,10 @@ from n_body_problem_tpu.state import SimState
 StepFn = Callable[[SimState], SimState]
 
 
-def make_step_fn(cfg: SimConfig, backend: str | None = None) -> StepFn:
+def make_step_fn(cfg: SimConfig, backend: str | None = None,
+                 n: int | None = None) -> StepFn:
     """One simulation step ``state -> state`` (force + integrate, fused)."""
-    force_fn = make_force_fn(cfg, backend)
+    force_fn = make_force_fn(cfg, backend, n)
     return make_integrator(cfg.integrator, force_fn, cfg.dt)
 
 
@@ -117,7 +118,7 @@ class Simulation:
                 self.state = unpad_state(state)
             self._resort()
         state = self.state
-        solver = resolve_solver(cfg.solver, backend)
+        solver = resolve_solver(cfg.solver, backend, state.n)
         need = required_padding(
             solver, state.n, cfg.block_size, cfg.pallas_tile_i,
             cfg.pallas_tile_j, cfg.pallas_sym_tile,
@@ -125,9 +126,11 @@ class Simulation:
         if state.n < need:
             state = pad_state_to(state, need)
         if cfg.integrator == "leapfrog":
-            state = jax.jit(functools.partial(prime_leapfrog, force_fn=make_force_fn(cfg, backend)))(state)
+            state = jax.jit(functools.partial(
+                prime_leapfrog, force_fn=make_force_fn(cfg, backend, state.n)
+            ))(state)
         self.state = state
-        self._step_fn = make_step_fn(cfg, backend)
+        self._step_fn = make_step_fn(cfg, backend, state.n)
         donate = (0,) if cfg.donate else ()
         self._jit_run = jax.jit(run_steps, static_argnums=(1, 2), donate_argnums=donate)
         self._jit_traj = jax.jit(
@@ -217,7 +220,17 @@ class Simulation:
 
     # ------------------------------------------------------------ metrics
     def pairs_per_step(self) -> int:
-        """Directed pair interactions evaluated per step (N^2 over padded N)."""
+        """Physical directed pair interactions per step: n_real*(n_real-1).
+
+        Padding bodies are massless and contribute no physics, so quoted
+        throughput counts only real-body pairs (the padded-N^2 rate the
+        kernels actually execute is :meth:`padded_pairs_per_step`).
+        """
+        k = self.state.n_real
+        return k * (k - 1)
+
+    def padded_pairs_per_step(self) -> int:
+        """Directed pair evaluations the kernel executes (padded N^2)."""
         return self.state.n * self.state.n
 
     def diagnostics(self) -> dict:

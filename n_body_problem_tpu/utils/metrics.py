@@ -16,7 +16,11 @@ import time
 
 @dataclasses.dataclass
 class StepTimer:
-    """Rolling window of step timings (window=100 matches kernel.cu:1269)."""
+    """Rolling window of step timings (window=100 matches kernel.cu:1269).
+
+    ``n_bodies`` should be the *real* (unpadded) body count: quoted pair
+    throughput is physical directed pairs n(n-1), not the padded-N^2 rate.
+    """
 
     n_bodies: int
     window: int = 100
@@ -46,7 +50,7 @@ class StepTimer:
     def snapshot(self, reset: bool = True) -> dict:
         steps = max(self._acc_steps, 1)
         ms = self._acc_time / steps * 1e3
-        pairs = self.n_bodies * self.n_bodies * steps / max(self._acc_time, 1e-12)
+        pairs = self.n_bodies * (self.n_bodies - 1) * steps / max(self._acc_time, 1e-12)
         out = {
             "ms_per_step": ms,
             "steps_per_sec": 1e3 / ms if ms > 0 else float("inf"),

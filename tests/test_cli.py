@@ -99,3 +99,54 @@ def test_run_multichip_cpu_mesh(tmp_path):
 
     state, _ = load_checkpoint(tmp_path / "final.npz")
     assert int(state.step) == 10
+
+
+def test_config_file_physics_not_clobbered(tmp_path):
+    """ADVICE r1 (medium): --config physics must survive argparse defaults."""
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(json.dumps({"dt": 0.002, "solver": "mxu", "eps2": 5e-7}))
+    from n_body_problem_tpu.cli import build_parser, _build_config
+
+    args = build_parser().parse_args([
+        "run", "--config", str(cfg_file), "--steps", "1",
+    ])
+    cfg = _build_config(args)
+    assert cfg.dt == 0.002 and cfg.solver == "mxu" and cfg.eps2 == 5e-7
+    # Explicit flags still override the file.
+    args = build_parser().parse_args([
+        "run", "--config", str(cfg_file), "--dt", "0.004", "--steps", "1",
+    ])
+    cfg = _build_config(args)
+    assert cfg.dt == 0.004 and cfg.solver == "mxu"
+
+
+def test_resume_uses_checkpoint_config(tmp_path):
+    """ADVICE r1 (low): --resume continues with the checkpoint's physics."""
+    main([
+        "run", "--model", "plummer", "--n", "128", "--steps", "5",
+        "--solver", "direct", "--dt", "0.002", "--g", "2.0",
+        "--out", str(tmp_path / "a"),
+    ])
+    rc = main([
+        "run", "--resume", str(tmp_path / "a" / "final.npz"), "--steps", "5",
+        "--out", str(tmp_path / "b"),
+    ])
+    assert rc == 0
+    from n_body_problem_tpu.io.checkpoint import load_checkpoint
+
+    _, cfg = load_checkpoint(tmp_path / "b" / "final.npz")
+    assert cfg.dt == 0.002 and cfg.G == 2.0 and cfg.solver == "direct"
+
+
+def test_auto_solver_resolution():
+    """auto -> symmetric on TPU when N fits the resident cap (VERDICT r1 #7)."""
+    from n_body_problem_tpu.ops.registry import (
+        SYMMETRIC_RESIDENT_CAP,
+        resolve_solver,
+    )
+
+    assert resolve_solver("auto", "tpu", 65536) == "pallas_symmetric"
+    assert resolve_solver("auto", "tpu", None) == "pallas_symmetric"
+    assert resolve_solver("auto", "tpu", SYMMETRIC_RESIDENT_CAP + 1) == "pallas"
+    assert resolve_solver("auto", "cpu", 65536) == "mxu"
+    assert resolve_solver("direct", "tpu", 10) == "direct"
