@@ -21,6 +21,7 @@ SOLVERS = (
     "mxu",         # matmul formulation: Gram-matrix r^2 + W@P accumulation on the MXU
     "pallas",      # Pallas blocked all-pairs kernel (kernel.cu:828-884 role, TPU-native)
     "pallas_symmetric",  # Pallas half-pair symmetric kernel (the report's method, kernel.cu:703-774 role)
+    "treecode",    # Barnes-Hut on the Morton tiling: beyond-brute-force, ~1e-4 median force error
 )
 
 INTEGRATORS = (
@@ -57,6 +58,12 @@ class SimConfig:
     pallas_tile_j: int = 1024  # Pallas column tile (lane dim)
     pallas_sym_tile: int = 512          # symmetric-kernel square tile
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
+    # --- treecode solver (ops/treecode.py; requires Morton-sorted bodies,
+    # Simulation auto-enables morton_sort for it) ---
+    tree_tile: int = 32        # finest Morton tile (acceptance granularity)
+    tree_theta: float = 0.5    # Barnes-Hut opening angle
+    tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
+    tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps
@@ -85,6 +92,10 @@ class SimConfig:
                 f"unknown pallas_sym_precision {self.pallas_sym_precision!r}; "
                 "expected 'f32', 'bf16x3' or 'mixed'"
             )
+        if not (0.0 < self.tree_theta <= 1.0):
+            raise ValueError(f"tree_theta must be in (0, 1], got {self.tree_theta}")
+        if self.tree_max_near < 0 or self.tree_vip_tiles < 0:
+            raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
 
     # Effective Plummer softening (added to the unscaled squared distance).
     @property

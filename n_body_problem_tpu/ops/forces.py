@@ -215,6 +215,7 @@ def required_padding(
     tile_i: int = 256,
     tile_j: int = 1024,
     sym_tile: int = 512,
+    tree_tile: int = 32,
 ) -> int:
     """Padded body count a solver needs for N bodies."""
     if solver in ("blocked", "mxu"):
@@ -223,4 +224,8 @@ def required_padding(
         return round_up(n, math.lcm(tile_i, tile_j))
     if solver == "pallas_symmetric":
         return round_up(n, sym_tile)
+    if solver == "treecode":
+        # lcm with 256: the VIP dense sweeps run through pallas_block_acc
+        # whose row tiling wants a 256-multiple on TPU.
+        return round_up(n, math.lcm(tree_tile, 256))
     return n

@@ -79,4 +79,12 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
             pos, mass, tile=cfg.pallas_sym_tile,
             precision=cfg.pallas_sym_precision, **kw
         )
+    if solver == "treecode":
+        from n_body_problem_tpu.ops import treecode
+
+        max_near = cfg.tree_max_near or treecode.DEFAULT_MAX_NEAR
+        return lambda pos, mass: treecode.treecode_acc(
+            pos, mass, tile=cfg.tree_tile, theta=cfg.tree_theta,
+            max_near=max_near, vip_tiles=cfg.tree_vip_tiles, **kw
+        )
     raise ValueError(f"unknown solver {solver!r}")

@@ -1,80 +1,452 @@
-"""Treecode-lite: block Barnes-Hut on the Morton tiling (approximate).
+"""Barnes-Hut treecode on the Morton tiling — the beyond-brute-force solver.
 
-The reference is exact brute force; this solver goes *past* it: with bodies
-Morton-sorted (``SimConfig.morton_sort``), consecutive ``tile``-body blocks
-are spatially compact clusters, so a one-level Barnes-Hut split applies:
+The reference is exact brute force (1.6 ms/step at N=20,225 on a 4090,
+``kernel.cu:73``); exact f32 brute force on one v5e is chip-bound below its
+derived 2.6e11 directed pairs/s (docs/numerics.md). This solver crosses
+that line algorithmically while keeping every shape static and every hot
+loop on dense TPU tiles. Bodies must be Morton-sorted
+(``SimConfig.morton_sort`` / ``resort_every``); consecutive ``tile``-body
+blocks are then spatially compact clusters.
 
-- **Near field (exact)**: for each tile, the ``max_near`` closest tiles
-  (always including itself) get the full softened pair interaction. Static
-  shapes: every tile has exactly ``max_near`` neighbours — the list is the
-  top-k by centroid distance, so an "overflow" degrades gracefully into the
-  far field rather than branching.
-- **Far field (monopole)**: every other tile acts as a point mass at its
-  centre of mass. O(N * K) work — negligible.
+Per force evaluation:
 
-The acceptance knob is ``max_near`` (a static shape), not the classic
-dynamic opening angle: tiles keep their k nearest neighbours, so compute
-cost is fixed and fully jittable. The price is accuracy: the fixed-k
-acceptance admits borderline tiles whose distance is comparable to their
-radius, so the monopole error is large — measured ~2-4% median relative
-force error at near fractions of 12-25% on a Morton-sorted Plummer sphere
-(and exact as max_near -> K). A production-grade variant needs a true
-opening-criterion acceptance with variable-length near lists (compaction),
-which is future work; this module is the EXPERIMENTAL scaffold: tile
-summaries, top-k neighbour lists, masked far field, gathered near panels.
+1. **VIP split** (handles the halo problem). Equal-count Morton tiles in
+   the sparse outskirts of a centrally-concentrated system span enormous
+   radii; as multipole sources they fail the opening test for *every*
+   target, and as targets their own bounding radius drags the whole core
+   into their near set. The ``vip_tiles`` largest-radius tiles are
+   therefore pulled out of the tree entirely and evaluated **exactly, both
+   directions** (dense body-vs-panel sweeps): their mass is zeroed in the
+   tree summaries, every body adds the exact pair force from the VIP
+   panel, and VIP bodies' own rows are overwritten with an exact sweep
+   against everyone. Static capacity, selected by ``top_k`` on tile radius
+   each call — fully adaptive, zero error contribution.
 
-TPU shape: the near field gathers neighbour tiles into a dense
-``(K, M*T)`` panel and reuses the broadcast pair math (VPU); the far field
-is one ``(N, K)`` broadcast. Everything is static-shaped — no trees, no
-pointer chasing, no recursion.
+2. **Tile summaries** for the remaining mass: centre of mass, total mass,
+   bounding radius over massive bodies, quadrupole tensor.
 
-This is NOT bug-for-bug the reference's physics — it exists to go faster
-than exact brute force can (`docs/numerics.md` shows why exact f32 caps at
-~1.2e11 pairs/s/chip on v5e). The exact solvers remain the defaults.
+3. **Opening criterion, per-body union.** Source tile j must be computed
+   exactly for target tile i iff ANY body y of i violates the Barnes-Hut
+   test:   min_{y in i} |y - com_j|  <  radius_j / theta.
+   (The conservative tile-level margin ``d(com_i,com_j) - radius_i`` would
+   over-open for every target with a non-tiny radius — measured 4x worse.)
+   Each target keeps the ``max_near`` worst tiles (largest
+   ``radius_j / min_dist`` ratio, self forced first) as its near list — a
+   static shape. If ``max_near`` bounds the true open count (auto-tuned by
+   :func:`suggest_max_near`, observable via :func:`open_counts`) the
+   theta-criterion is honoured exactly; spare slots just compute more
+   tiles exactly; overflow degrades gracefully (worst offenders stay
+   near). ``max_near >= K`` degenerates to the exact solver.
+
+4. **Near field (exact):** the reference pair math against gathered
+   per-target panels, on TPU as a Pallas kernel streaming each target
+   tile's panel through VMEM (same 12-op VPU pair loop as the dense
+   kernels — accepted tiles run at full dense-kernel throughput).
+
+5. **Far field (monopole + quadrupole):** body-vs-tile expansion of the
+   *softened* kernel, coefficients derived for
+   ``phi = -G m c (c^2 r^2 + eps2)^(-1/2)`` — the same physics the near
+   field computes, not an unsoftened approximation. An isotropic
+   quadrupole contributes exactly zero (validated in tests).
+
+Cost at N=65k / tile=32 / theta=0.5 / vip=128: near ~20%, VIP ~12.5% of
+N^2 pair work plus an O(N*K) far field — ~3x fewer effective pair
+evaluations, at dense-kernel throughput. Error: measured ~1e-4 median
+relative force error on a Morton-sorted Plummer sphere (envelope asserted
+in tests/test_treecode.py).
+
+The reference has no tree — cited here as the perf target
+(``kernel.cu:73``), not as provenance.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 32
+DEFAULT_THETA = 0.5
+DEFAULT_MAX_NEAR = 416     # fallback when suggest_max_near wasn't consulted
+DEFAULT_VIP_TILES = 128
+
+_TINY = 1e-12
 
 
+# --------------------------------------------------------------- summaries
 def tile_summaries(pos: jax.Array, mass: jax.Array, tile: int):
-    """Per-tile centre of mass, total mass, bounding radius.
+    """Per-tile (com (K,3), m_tot (K,), radius (K,), quad (K,6)).
 
-    Returns (centroids (K,3), masses (K,), radii (K,)). Massless padding
-    tiles get their geometric handling from zero total mass (no far-field
-    contribution) — their centroid falls back to the tile mean position.
+    ``radius`` spans bodies with mass > 0 only: massless padding bodies sit
+    at the origin and would otherwise inflate a boundary tile's radius to
+    the whole-system scale. ``quad`` is the raw second-moment tensor
+    sum_a m_a outer(delta_a, delta_a), packed [xx, yy, zz, xy, xz, yz].
+    Empty (all-massless) tiles get m_tot = radius = quad = 0 and are inert
+    as sources.
     """
     n = pos.shape[0]
     k = n // tile
     p = pos.reshape(k, tile, 3)
     m = mass.reshape(k, tile)
     m_tot = jnp.sum(m, axis=1)                                  # (K,)
-    safe = jnp.maximum(m_tot, 1e-30)
+    safe = jnp.maximum(m_tot, _TINY)
     com = jnp.sum(m[..., None] * p, axis=1) / safe[:, None]     # (K, 3)
     com = jnp.where(m_tot[:, None] > 0, com, jnp.mean(p, axis=1))
-    r = jnp.sqrt(jnp.max(jnp.sum((p - com[:, None, :]) ** 2, axis=-1), axis=1))
-    return com, m_tot, r
+    d = p - com[:, None, :]                                     # (K, T, 3)
+    r2 = jnp.sum(d * d, axis=-1)                                # (K, T)
+    radius = jnp.sqrt(jnp.max(jnp.where(m > 0, r2, 0.0), axis=1))
+    md = m[..., None] * d
+    quad = jnp.stack(
+        [
+            jnp.sum(md[..., 0] * d[..., 0], axis=1),
+            jnp.sum(md[..., 1] * d[..., 1], axis=1),
+            jnp.sum(md[..., 2] * d[..., 2], axis=1),
+            jnp.sum(md[..., 0] * d[..., 1], axis=1),
+            jnp.sum(md[..., 0] * d[..., 2], axis=1),
+            jnp.sum(md[..., 1] * d[..., 2], axis=1),
+        ],
+        axis=1,
+    )                                                           # (K, 6)
+    return com, m_tot, radius, quad
 
 
-def near_tile_lists(centroids: jax.Array, max_near: int):
-    """(K, M) indices of each tile's M closest tiles (itself first)."""
-    d2 = jnp.sum(
-        (centroids[:, None, :] - centroids[None, :, :]) ** 2, axis=-1
+def _chunk_size(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (ADVICE r1: min(n, 8192)
+    crashed reshape for n not a multiple of 8192)."""
+    for c in range(min(n, target), 0, -1):
+        if n % c == 0:
+            return c
+    return n
+
+
+def _min_tile_dist(pos: jax.Array, com: jax.Array, tile: int) -> jax.Array:
+    """(K_t, K_s): min over bodies of target tile i of |y - com_j|."""
+    n = pos.shape[0]
+    k_s = com.shape[0]
+    chunk = _chunk_size(n, 8192)
+
+    def per_chunk(p_c):
+        d = com[None, :, :] - p_c[:, None, :]                   # (C, K_s, 3)
+        return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+    d_bt = lax.map(per_chunk, pos.reshape(n // chunk, chunk, 3))
+    return jnp.min(d_bt.reshape(n // tile, tile, k_s), axis=1)
+
+
+def _vip_split(pos, mass, tile: int, vip_tiles: int):
+    """(mass_tree, vip_body_idx (W,), is_vip_body (N,)) — pull the
+    ``vip_tiles`` largest-radius tiles out of the tree."""
+    n = pos.shape[0]
+    k = n // tile
+    _, _, radius, _ = tile_summaries(pos, mass, tile)
+    _, vip_idx = lax.top_k(radius, vip_tiles)                   # (V,)
+    body_idx = (vip_idx[:, None] * tile
+                + jnp.arange(tile, dtype=vip_idx.dtype)[None, :]).reshape(-1)
+    is_vip_tile = jnp.zeros((k,), bool).at[vip_idx].set(True)
+    is_vip_body = jnp.repeat(is_vip_tile, tile)
+    mass_tree = jnp.where(is_vip_body, 0.0, mass)
+    return mass_tree, body_idx, is_vip_body
+
+
+# -------------------------------------------------------------- acceptance
+def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int):
+    """Near lists from the per-body-union opening criterion.
+
+    Returns (near_idx (K, M) int32, near_mask (K, K) bool).
+    """
+    k = com.shape[0]
+    min_d = _min_tile_dist(pos, com, tile)                      # (K, K)
+    ratio = radius[None, :] / jnp.maximum(min_d, _TINY)
+    eye = jnp.eye(k, dtype=bool)
+    ratio = jnp.where(eye, jnp.inf, ratio)                      # self first
+    _, near_idx = lax.top_k(ratio, max_near)                    # (K, M)
+    near_mask = jnp.any(
+        near_idx[:, :, None] == jnp.arange(k)[None, None, :], axis=1
     )                                                           # (K, K)
-    k = d2.shape[0]
-    d2 = d2.at[jnp.arange(k), jnp.arange(k)].set(-1.0)          # self is closest
-    _, idx = lax.top_k(-d2, max_near)                           # ascending distance
-    return idx                                                  # (K, M)
+    return near_idx.astype(jnp.int32), near_mask
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "theta", "vip_tiles"))
+def open_counts(pos, mass, *, tile: int = DEFAULT_TILE,
+                theta: float = DEFAULT_THETA,
+                vip_tiles: int = DEFAULT_VIP_TILES) -> jax.Array:
+    """Per-tile count of tiles failing the far test (self included), after
+    the VIP split. ``max_near`` must cover ``max(open_counts)`` for the
+    theta-criterion to hold exactly; :func:`suggest_max_near` adds margin.
+    """
+    n = pos.shape[0]
+    k = n // tile
+    vip_tiles = _clamp_vip(vip_tiles, k)
+    mass_tree = mass
+    if vip_tiles:
+        mass_tree, _, _ = _vip_split(pos, mass, tile, vip_tiles)
+    com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
+    min_d = _min_tile_dist(pos, com, tile)
+    is_open = jnp.logical_or(
+        radius[None, :] / jnp.maximum(min_d, _TINY) > theta,
+        jnp.eye(k, dtype=bool),
+    )
+    return jnp.sum(is_open, axis=1)
+
+
+def _clamp_vip(vip_tiles: int, k: int) -> int:
+    """VIP capacity must leave a tree behind (and stay 0 for tiny K)."""
+    return int(min(vip_tiles, k // 4))
+
+
+def suggest_max_near(
+    pos,
+    mass,
+    *,
+    tile: int = DEFAULT_TILE,
+    theta: float = DEFAULT_THETA,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+    margin: float = 1.3,
+    multiple: int = 16,
+) -> int:
+    """Static near-list capacity for this body distribution (host-side).
+
+    ``margin`` absorbs near-count growth between Morton re-sorts;
+    ``multiple`` keeps the Pallas panel width a lane-friendly size.
+    """
+    counts = np.asarray(open_counts(
+        jnp.asarray(pos), jnp.asarray(mass),
+        tile=tile, theta=theta, vip_tiles=vip_tiles,
+    ))
+    k = max(pos.shape[0] // tile, 1)
+    need = int(math.ceil(float(counts.max()) * margin))
+    need = ((need + multiple - 1) // multiple) * multiple
+    return int(min(max(need, 1), k))
+
+
+# --------------------------------------------------------------- far field
+def _far_field(pos, com, m_tot, quad, near_mask, *,
+               eps2: float, c2: float, G: float, tile: int):
+    """Monopole+quadrupole acceleration from all non-near tiles.
+
+    Softened multipole expansion around each tile's com with
+    u = (c^2 r^2 + eps2)^(-1/2), d = com - y:
+
+        acc = G c [ M c^2 u^3 - (3/2) c^4 tr(S) u^5
+                    + (15/2) c^6 (d'Sd) u^7 ] d  -  3 G c^5 u^5 S d
+
+    Reduces to the classic Newtonian quadrupole for eps2 -> 0; vanishes
+    for isotropic S.
+    """
+    n = pos.shape[0]
+    k = com.shape[0]
+    c = math.sqrt(c2)
+    c4 = c2 * c2
+    c6 = c4 * c2
+    gc = G * c
+
+    sxx, syy, szz = quad[:, 0], quad[:, 1], quad[:, 2]
+    sxy, sxz, syz = quad[:, 3], quad[:, 4], quad[:, 5]
+    tr = sxx + syy + szz                                        # (K,)
+
+    def per_chunk(args):
+        pos_c, mask_c = args                                    # (C,3), (C,K)
+        d = com[None, :, :] - pos_c[:, None, :]                 # (C, K, 3)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        r2 = dx * dx + dy * dy + dz * dz
+        u2 = 1.0 / (c2 * r2 + eps2)
+        u = jnp.sqrt(u2)
+        u3 = u2 * u
+        u5 = u3 * u2
+        u7 = u5 * u2
+        sdx = sxx * dx + sxy * dy + sxz * dz                    # (C, K)
+        sdy = sxy * dx + syy * dy + syz * dz
+        sdz = sxz * dx + syz * dy + szz * dz
+        q = dx * sdx + dy * sdy + dz * sdz                      # d' S d
+        wd = m_tot * c2 * u3 - 1.5 * c4 * tr * u5 + 7.5 * c6 * q * u7
+        live = jnp.logical_not(mask_c)
+        wd = jnp.where(live, wd, 0.0)
+        ws = jnp.where(live, -3.0 * c4 * u5, 0.0)
+        ax = jnp.sum(wd * dx + ws * sdx, axis=1)
+        ay = jnp.sum(wd * dy + ws * sdy, axis=1)
+        az = jnp.sum(wd * dz + ws * sdz, axis=1)
+        return gc * jnp.stack([ax, ay, az], axis=1)             # (C, 3)
+
+    chunk = _chunk_size(n, 8192)
+    body_tile = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] // tile
+    mask = near_mask[body_tile]                                 # (N, K)
+    return lax.map(
+        per_chunk,
+        (pos.reshape(n // chunk, chunk, 3),
+         mask.reshape(n // chunk, chunk, k)),
+    ).reshape(n, 3)
+
+
+# -------------------------------------------------------------- near field
+def _gather_panels(pos, scaled_mass, near_idx, tile: int):
+    """(4, K, M*T) gathered [x y z m] panels per target tile.
+
+    The gather runs along the LANE axis of a (4, N) array: a (K*W, 4)
+    result would take TPU's T(8, 128) tiled layout and pad lanes 4 -> 128
+    (32x HBM, measured OOM at N=65k).
+    """
+    k, m_near = near_idx.shape
+    body_idx = (near_idx[:, :, None] * tile
+                + jnp.arange(tile, dtype=near_idx.dtype)[None, None, :]
+                ).reshape(k, m_near * tile)                     # (K, M*T)
+    # Four 1-D gathers (not one row gather): XLA materializes a row gather
+    # as (K*W, 4), whose T(8, 128) layout pads lanes 4 -> 128 = 32x HBM
+    # (measured OOM at N=65k).
+    comps = [pos[:, 0], pos[:, 1], pos[:, 2], scaled_mass]
+    return jnp.stack([c[body_idx] for c in comps], axis=0)      # (4, K, M*T)
+
+
+def _near_field_xla(pos, panels, *, eps2: float, c2: float, tile: int):
+    """Gathered-panel near field (CPU/test path). panels: (4, K, W)."""
+    n = pos.shape[0]
+    k = panels.shape[1]
+
+    def per_tile(args):
+        pi, pan = args                                          # (T,3), (4,W)
+        d = pan[None, :3, :] - pi[:, :, None]                   # (T, 3, W)
+        r2 = jnp.sum(d * d, axis=1)                             # (T, W)
+        inv = lax.rsqrt(c2 * r2 + eps2)
+        w = pan[3, :][None, :] * (inv * inv * inv)
+        return jnp.einsum("iw,icw->ic", w, d,
+                          precision=lax.Precision.HIGHEST)
+
+    return lax.map(
+        per_tile, (pos.reshape(k, tile, 3), jnp.swapaxes(panels, 0, 1))
+    ).reshape(n, 3)
+
+
+def _near_kernel(rows_ref, pan_ref, out_ref, acc_x, acc_y, acc_z,
+                 *, c2, eps2, tile):
+    """Near-panel kernel: row tile resident, its gathered panel streamed.
+
+    Same 12-op VPU pair loop as the dense blocked kernel
+    (``pallas_force._force_kernel``); deferred per-lane accumulators are
+    lane-reduced once per row tile on the final panel chunk.
+    """
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    xi = rows_ref[:, 0:1]                                       # (T, 1)
+    yi = rows_ref[:, 1:2]
+    zi = rows_ref[:, 2:3]
+    dx = pan_ref[0:1, :] - xi                                   # (T, CT)
+    dy = pan_ref[1:2, :] - yi
+    dz = pan_ref[2:3, :] - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    inv = lax.rsqrt(r2 * c2 + eps2)
+    w = pan_ref[3:4, :] * (inv * inv * inv)
+
+    @pl.when(c == 0)
+    def _():
+        acc_x[...] = w * dx
+        acc_y[...] = w * dy
+        acc_z[...] = w * dz
+
+    @pl.when(c > 0)
+    def _():
+        acc_x[...] += w * dx
+        acc_y[...] += w * dy
+        acc_z[...] += w * dz
+
+    @pl.when(c == nc - 1)
+    def _():
+        out_ref[...] = jnp.concatenate(
+            [
+                jnp.sum(acc_x[...], axis=1, keepdims=True),
+                jnp.sum(acc_y[...], axis=1, keepdims=True),
+                jnp.sum(acc_z[...], axis=1, keepdims=True),
+                jnp.zeros((tile, 5), out_ref.dtype),
+            ],
+            axis=1,
+        )
+
+
+def _near_field_pallas(pos, panels, *, eps2: float, c2: float, tile: int,
+                       interpret: bool):
+    n = pos.shape[0]
+    _, k, width = panels.shape
+    f32 = jnp.float32
+    # Panel chunk: largest divisor of the panel width <= 512 lanes.
+    ctile = _chunk_size(width, 512)
+    rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)  # (N, 4)
+    # (4, K*W) lane-major: a (4, ctile) block's sublane dim then equals the
+    # full array dim, which Mosaic accepts (sublane 4 is not 8-divisible).
+    pan2d = panels.reshape(4, k * width)
+    chunks_per_tile = width // ctile
+
+    out = pl.pallas_call(
+        functools.partial(_near_kernel, c2=float(c2), eps2=float(eps2),
+                          tile=tile),
+        grid=(k, chunks_per_tile),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, ctile),
+                lambda i, c, _cpt=chunks_per_tile: (0, i * _cpt + c),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((tile, 8), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8), f32),
+        scratch_shapes=[pltpu.VMEM((tile, ctile), f32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=15 * n * width,
+            bytes_accessed=(n * 4 + k * 4 * width + n * 8) * 4,
+            transcendentals=n * width,
+        ),
+        interpret=interpret,
+    )(rows, pan2d)
+    return out[:, :3]
+
+
+# --------------------------------------------------------------- VIP sweep
+def _dense_sweep(pos_i, pos_j, scaled_mass_j, *, eps2: float, c2: float,
+                 use_pallas: bool, interpret: bool):
+    """Exact acc of rows due to the (pre-scaled-mass) column panel."""
+    if use_pallas:
+        from n_body_problem_tpu.ops.pallas_force import pallas_block_acc
+
+        ni, nj = pos_i.shape[0], pos_j.shape[0]
+        ti = _chunk_size(ni, 256)
+        tj = _chunk_size(nj, 1024)
+        # pallas_block_acc re-scales masses by G*c^3 internally; pass the
+        # raw G that makes its scaling a no-op on our pre-scaled masses.
+        return pallas_block_acc(
+            pos_i, pos_j, scaled_mass_j / (c2 * math.sqrt(c2)),
+            eps2=eps2, compensate=math.sqrt(c2), G=1.0,
+            tile_i=ti, tile_j=tj, interpret=interpret,
+        )
+
+    ni = pos_i.shape[0]
+    chunk = _chunk_size(ni, 4096)
+
+    def per_chunk(p_c):
+        d = pos_j[None, :, :] - p_c[:, None, :]
+        r2 = jnp.sum(d * d, axis=-1)
+        inv = lax.rsqrt(c2 * r2 + eps2)
+        w = scaled_mass_j[None, :] * (inv * inv * inv)
+        return jnp.einsum("ij,ijc->ic", w, d,
+                          precision=lax.Precision.HIGHEST)
+
+    return lax.map(per_chunk, pos_i.reshape(ni // chunk, chunk, 3)
+                   ).reshape(ni, 3)
+
+
+# ------------------------------------------------------------------ solver
 @functools.partial(
     jax.jit,
-    static_argnames=("eps2", "compensate", "G", "tile", "max_near"),
+    static_argnames=(
+        "eps2", "compensate", "G", "tile", "theta", "max_near", "vip_tiles",
+        "use_pallas", "interpret",
+    ),
 )
 def treecode_acc(
     pos: jax.Array,
@@ -83,69 +455,64 @@ def treecode_acc(
     eps2: float,
     compensate: float = 0.1,
     G: float = 1.0,
-    tile: int = 512,
-    max_near: int = 16,
+    tile: int = DEFAULT_TILE,
+    theta: float = DEFAULT_THETA,
+    max_near: int = DEFAULT_MAX_NEAR,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+    use_pallas: bool | None = None,
+    interpret: bool | None = None,
 ) -> jax.Array:
-    """Approximate acc (N, 3): exact near tiles + monopole far field."""
+    """Approximate acc (N, 3): theta-criterion near/far split + exact VIPs.
+
+    Bodies should be Morton-sorted. ``max_near >= K`` is exact.
+    """
     n = pos.shape[0]
     if n % tile:
         raise ValueError(f"treecode_acc: N={n} must be a multiple of tile={tile}")
+    if not (0.0 < theta <= 1.0):
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
     k = n // tile
     max_near = min(max_near, k)
+    vip_tiles = _clamp_vip(vip_tiles, k)
     c2 = compensate * compensate
     gc3 = G * c2 * compensate
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
-    com, m_tot, _ = tile_summaries(pos, mass, tile)
-    near = near_tile_lists(com, max_near)                       # (K, M)
+    mass_tree = mass
+    if vip_tiles:
+        mass_tree, vip_body_idx, is_vip_body = _vip_split(
+            pos, mass, tile, vip_tiles
+        )
 
-    # ---- far field: every tile's monopole on every body, near tiles masked.
-    # Monopole only, deliberately: the fixed-k acceptance admits tiles whose
-    # centroid distance is comparable to their radius, where the multipole
-    # series has not converged — adding the quadrupole term there makes the
-    # error WORSE (measured; the formula itself validates 10x better in the
-    # convergent regime). Higher orders need a true opening-criterion
-    # acceptance with variable-length near lists (future work).
-    # (K, K) tile-level near mask.
-    tile_near = jnp.any(
-        near[:, :, None] == jnp.arange(k)[None, None, :], axis=1
-    )                                                           # (K, K)
+    com, m_tot, radius, quad = tile_summaries(pos, mass_tree, tile)
+    near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
 
-    # Chunk bodies so the (chunk, K, 3) broadcast never materializes an
-    # O(N*K) tensor for large N (1M bodies x 2048 tiles would be ~25 GB).
-    def far_chunk(args):
-        pos_c, mask_c = args                                    # (C,3), (C,K)
-        d = com[None, :, :] - pos_c[:, None, :]                 # (C, K, 3)
-        r2 = jnp.sum(d * d, axis=-1)
-        inv = lax.rsqrt(c2 * r2 + eps2)
-        w = (gc3 * m_tot)[None, :] * (inv * inv * inv)
-        w = jnp.where(mask_c, 0.0, w)
-        return jnp.einsum("nk,nkc->nc", w, d, precision=lax.Precision.HIGHEST)
+    scaled_tree_mass = mass_tree * f32(gc3)
+    panels = _gather_panels(pos, scaled_tree_mass, near_idx, tile)
+    if use_pallas:
+        acc = _near_field_pallas(pos, panels, eps2=eps2, c2=c2, tile=tile,
+                                 interpret=interpret)
+    else:
+        acc = _near_field_xla(pos, panels, eps2=eps2, c2=c2, tile=tile)
 
-    body_tile = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] // tile
-    near_mask = tile_near[body_tile]                            # (N, K)
-    chunk = min(n, 8192)
-    acc_far = lax.map(
-        far_chunk,
-        (pos.reshape(n // chunk, chunk, 3),
-         near_mask.reshape(n // chunk, chunk, k)),
-    ).reshape(n, 3)
+    if max_near < k:
+        acc = acc + _far_field(pos, com, m_tot, quad, near_mask,
+                               eps2=eps2, c2=c2, G=G, tile=tile)
 
-    # ---- near field: exact pair math against the gathered neighbour panel.
-    p_tiles = pos.reshape(k, tile, 3)
-    m_tiles = mass.reshape(k, tile)
-    neigh_pos = p_tiles[near].reshape(k, max_near * tile, 3)    # (K, M*T, 3)
-    neigh_mass = m_tiles[near].reshape(k, max_near * tile)
-
-    def near_tile(args):
-        pi, pj, mj = args
-        dn = pj[None, :, :] - pi[:, None, :]                    # (T, M*T, 3)
-        r2n = jnp.sum(dn * dn, axis=-1)
-        invn = lax.rsqrt(c2 * r2n + eps2)
-        wn = (gc3 * mj)[None, :] * (invn * invn * invn)
-        return jnp.einsum("ij,ijc->ic", wn, dn, precision=lax.Precision.HIGHEST)
-
-    acc_near = lax.map(near_tile, (p_tiles, neigh_pos, neigh_mass)).reshape(n, 3)
-    return acc_near + acc_far
+    if vip_tiles:
+        pos_v = pos[vip_body_idx]                               # (W, 3)
+        mass_v = (mass * f32(gc3))[vip_body_idx]                # original mass
+        # VIP as sources: exact pair force on every body.
+        acc = acc + _dense_sweep(pos, pos_v, mass_v, eps2=eps2, c2=c2,
+                                 use_pallas=use_pallas, interpret=interpret)
+        # VIP as targets: overwrite their rows with an exact all-source sweep.
+        acc_vip = _dense_sweep(pos_v, pos, mass * f32(gc3), eps2=eps2, c2=c2,
+                               use_pallas=use_pallas, interpret=interpret)
+        acc = acc.at[vip_body_idx].set(acc_vip)
+    return acc

@@ -138,25 +138,33 @@ def half_ring_acc(
         pos_v, mass_v, react_v = lax.ppermute(
             (pos_v, mass_v, react_v), axis_name, fwd
         )
+
         # After s hops the packet on this chip belongs to shard (me - s).
-        if solver == "pallas":
-            # Two blocked kernel calls (action + reaction). The XLA path
-            # shares the distance/rsqrt work between halves; the Pallas
-            # kernel's per-pair efficiency more than covers recomputing it.
-            a_local = block(pos_local, pos_v, mass_v, **fkw)
-            a_visit = block(pos_v, pos_local, mass_local, **fkw)
-        else:
-            a_local, a_visit = pair_accel_tile_symmetric(
-                pos_local, mass_local, pos_v, mass_v, **fkw
-            )
+        def compute(acc, react_v):
+            if solver == "pallas":
+                # Two blocked kernel calls (action + reaction). The XLA path
+                # shares the distance/rsqrt work between halves; the Pallas
+                # kernel's per-pair efficiency more than covers recomputing it.
+                a_local = block(pos_local, pos_v, mass_v, **fkw)
+                a_visit = block(pos_v, pos_local, mass_local, **fkw)
+            else:
+                a_local, a_visit = pair_accel_tile_symmetric(
+                    pos_local, mass_local, pos_v, mass_v, **fkw
+                )
+            return acc + a_local, react_v + a_visit
+
         if even:
-            gate = jnp.where(
-                jnp.logical_or(s < s_last, me < n_shards // 2), 1.0, 0.0
-            ).astype(acc.dtype)
+            # For even D the final diagonal pairs each block twice; rows
+            # i >= D/2 skip it. lax.cond (not a 0/1 gate-multiply) so the
+            # inactive chips skip the pair work entirely (VERDICT r1 #8);
+            # the predicate is device-varying, which is fine under
+            # shard_map's per-device SPMD (no collectives inside).
+            active = jnp.logical_or(s < s_last, me < n_shards // 2)
+            acc, react_v = lax.cond(
+                active, compute, lambda a, r: (a, r), acc, react_v
+            )
         else:
-            gate = jnp.ones((), acc.dtype)
-        acc = acc + gate * a_local
-        react_v = react_v + gate * a_visit
+            acc, react_v = compute(acc, react_v)
         return (acc, pos_v, mass_v, react_v), None
 
     init = (acc, pos_local, mass_local, jnp.zeros_like(pos_local))

@@ -107,6 +107,11 @@ class Simulation:
         from n_body_problem_tpu.ops.registry import resolve_solver
         from n_body_problem_tpu.state import pad_state_to
 
+        solver = resolve_solver(cfg.solver, backend, state.n)
+        if solver == "treecode" and not (cfg.morton_sort or cfg.resort_every):
+            # The treecode's acceptance works on contiguous Morton tiles;
+            # unsorted bodies would be silently inaccurate AND slow.
+            cfg = cfg.replace(morton_sort=True)
         self.cfg = cfg
         self.backend = backend
         self.sort_perm = None
@@ -118,13 +123,23 @@ class Simulation:
                 self.state = unpad_state(state)
             self._resort()
         state = self.state
-        solver = resolve_solver(cfg.solver, backend, state.n)
         need = required_padding(
             solver, state.n, cfg.block_size, cfg.pallas_tile_i,
-            cfg.pallas_tile_j, cfg.pallas_sym_tile,
+            cfg.pallas_tile_j, cfg.pallas_sym_tile, cfg.tree_tile,
         )
         if state.n < need:
             state = pad_state_to(state, need)
+        if solver == "treecode" and cfg.tree_max_near == 0:
+            # Auto-tune the static near-list capacity on the (sorted,
+            # padded) initial distribution; margin absorbs drift between
+            # re-sorts. A static shape, so it must be fixed pre-trace.
+            from n_body_problem_tpu.ops.treecode import suggest_max_near
+
+            cfg = cfg.replace(tree_max_near=suggest_max_near(
+                state.pos, state.mass, tile=cfg.tree_tile,
+                theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+            ))
+            self.cfg = cfg
         if cfg.integrator == "leapfrog":
             state = jax.jit(functools.partial(
                 prime_leapfrog, force_fn=make_force_fn(cfg, backend, state.n)

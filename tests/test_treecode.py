@@ -1,49 +1,170 @@
-"""Experimental treecode: exactness limit + bounded approximation error."""
+"""Barnes-Hut treecode: error envelopes, exact limits, solver wiring."""
 
 import numpy as np
 import pytest
 
-from n_body_problem_tpu import models, pad_state
+import jax.numpy as jnp
+
+from n_body_problem_tpu import SimConfig, Simulation, models
 from n_body_problem_tpu.ops import direct_acc
-from n_body_problem_tpu.ops.treecode import near_tile_lists, tile_summaries, treecode_acc
+from n_body_problem_tpu.ops.treecode import (
+    open_counts,
+    suggest_max_near,
+    tile_summaries,
+    treecode_acc,
+)
 from n_body_problem_tpu.utils.morton import apply_permutation, morton_argsort
 
+EPS2 = 1e-6
 
-@pytest.fixture(scope="module")
-def sorted_cloud():
-    state = models.plummer(2048, seed=0)
+
+def _sorted_plummer(n, seed=0):
+    state = models.plummer(n, seed=seed)
     perm = morton_argsort(np.asarray(state.pos))
-    return pad_state(apply_permutation(state, perm), multiple=256)
+    return apply_permutation(state, perm)
 
 
-def test_exact_when_all_tiles_near(sorted_cloud):
-    s = sorted_cloud
-    k = s.n // 64
-    a = direct_acc(s.pos, s.mass, eps2=1e-6, compensate=0.1)
-    b = treecode_acc(s.pos, s.mass, eps2=1e-6, compensate=0.1, tile=64, max_near=k)
-    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+def _rel_err(got, want):
+    got, want = np.asarray(got), np.asarray(want)
+    denom = np.maximum(np.linalg.norm(want, axis=1), 1e-12)
+    return np.linalg.norm(got - want, axis=1) / denom
 
 
-def test_monopole_error_bounded(sorted_cloud):
-    """Fixed-k acceptance keeps median relative error below ~10% at a 25%
-    near fraction (documented experimental accuracy, not production)."""
-    s = sorted_cloud
-    a = np.asarray(direct_acc(s.pos, s.mass, eps2=1e-6, compensate=0.1))
-    b = np.asarray(
-        treecode_acc(s.pos, s.mass, eps2=1e-6, compensate=0.1, tile=64, max_near=8)
-    )
-    rel = np.linalg.norm(a - b, axis=1) / (np.linalg.norm(a, axis=1) + 1e-12)
-    assert np.median(rel) < 0.1
-    assert np.percentile(rel, 99) < 1.0
+def test_error_envelope_theta_half():
+    """The headline acceptance guarantee: theta=0.5 with quadrupole far
+    field and auto capacity stays inside ~1e-3 p99 relative force error
+    (measured 1.06e-3 at N=65k; small N is strictly easier)."""
+    state = _sorted_plummer(8192, seed=1)
+    m = suggest_max_near(state.pos, state.mass, tile=32, theta=0.5,
+                         vip_tiles=32)
+    got = treecode_acc(state.pos, state.mass, eps2=EPS2, tile=32, theta=0.5,
+                       max_near=m, vip_tiles=32, use_pallas=False)
+    want = direct_acc(state.pos, state.mass, eps2=EPS2)
+    err = _rel_err(got, want)
+    assert np.median(err) < 5e-4, f"median {np.median(err):.2e}"
+    assert np.percentile(err, 99) < 2e-3, f"p99 {np.percentile(err, 99):.2e}"
 
 
-def test_summaries_and_lists(sorted_cloud):
-    s = sorted_cloud
-    com, m_tot, r = tile_summaries(s.pos, s.mass, 64)
-    k = s.n // 64
-    assert com.shape == (k, 3) and m_tot.shape == (k,) and r.shape == (k,)
-    total = float(np.asarray(m_tot).sum())
-    assert total == pytest.approx(float(np.asarray(s.mass).sum()), rel=1e-5)
-    near = np.asarray(near_tile_lists(com, 4))
-    assert near.shape == (k, 4)
-    np.testing.assert_array_equal(near[:, 0], np.arange(k))  # self first
+def test_exact_when_capacity_covers_everything():
+    """max_near >= K degenerates to the exact direct solver."""
+    state = _sorted_plummer(2048, seed=2)
+    k = 2048 // 32
+    got = treecode_acc(state.pos, state.mass, eps2=EPS2, tile=32, theta=0.5,
+                       max_near=k, vip_tiles=0, use_pallas=False)
+    want = direct_acc(state.pos, state.mass, eps2=EPS2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-6)
+
+
+def test_pallas_near_path_matches_xla():
+    """The Pallas near-panel kernel (interpret mode) == the XLA gather
+    path, including the VIP dense sweeps through pallas_block_acc."""
+    state = _sorted_plummer(4096, seed=3)
+    kw = dict(eps2=EPS2, tile=32, theta=0.5, max_near=48, vip_tiles=16)
+    a = treecode_acc(state.pos, state.mass, use_pallas=False, **kw)
+    b = treecode_acc(state.pos, state.mass, use_pallas=True, interpret=True,
+                     **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_suggest_covers_open_counts():
+    state = _sorted_plummer(4096, seed=4)
+    counts = np.asarray(open_counts(state.pos, state.mass, tile=32,
+                                    theta=0.5, vip_tiles=16))
+    m = suggest_max_near(state.pos, state.mass, tile=32, theta=0.5,
+                         vip_tiles=16)
+    assert m >= counts.max()
+    assert m % 16 == 0 or m == 4096 // 32
+
+
+def test_quadrupole_beats_monopole():
+    """The far expansion must out-approximate a plain monopole for an
+    anisotropic source cluster (quadrupole term live and correct)."""
+    rng = np.random.default_rng(5)
+    # Anisotropic bar of 32 bodies + 32 distant probes.
+    bar = np.zeros((32, 3), np.float32)
+    bar[:, 0] = np.linspace(-1, 1, 32)
+    probes = rng.normal(size=(32, 3)).astype(np.float32)
+    probes = 6.0 * probes / np.linalg.norm(probes, axis=1, keepdims=True)
+    pos = jnp.asarray(np.concatenate([probes, bar]))
+    mass = jnp.asarray(np.concatenate([np.zeros(32), np.ones(32)])
+                       .astype(np.float32))
+    want = np.asarray(direct_acc(pos, mass, eps2=EPS2))[:32]
+
+    # treecode with probes near only themselves: bar is pure far field.
+    got = np.asarray(treecode_acc(pos, mass, eps2=EPS2, tile=32, theta=1.0,
+                                  max_near=1, vip_tiles=0,
+                                  use_pallas=False))[:32]
+    # hand monopole of the bar at its com (origin), reference pair math
+    c2, gc3 = 0.01, 1e-3
+    d = -probes
+    r2 = (d * d).sum(1)
+    u = 1.0 / np.sqrt(c2 * r2 + EPS2)
+    mono = (32.0 * gc3 * u**3)[:, None] * d
+    err_tree = np.linalg.norm(got - want, axis=1)
+    err_mono = np.linalg.norm(mono - want, axis=1)
+    assert err_tree.max() < 0.2 * err_mono.max()
+
+
+def test_isotropic_quadrupole_is_inert():
+    """An isotropic second moment must contribute nothing (the tracelessness
+    identity the far-field coefficients encode)."""
+    # 8 cube corners x4 = exactly 32 bodies with an isotropic S.
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    ) / np.sqrt(3.0)
+    src = np.concatenate([corners] * 4) * 0.5
+    probes = np.array([[5.0, 1.0, -2.0]] * 32, np.float32)
+    pos = jnp.asarray(np.concatenate([probes, src]))
+    mass = jnp.asarray(np.concatenate([np.zeros(32), np.ones(32) / 32])
+                       .astype(np.float32))
+    com, m_tot, radius, quad = tile_summaries(pos[32:], mass[32:], 32)
+    s = np.asarray(quad)[0]
+    assert abs(s[0] - s[1]) < 1e-6 and abs(s[3]) < 1e-7     # isotropic-ish
+    got = np.asarray(treecode_acc(pos, mass, eps2=EPS2, tile=32, theta=1.0,
+                                  max_near=1, vip_tiles=0,
+                                  use_pallas=False))[0]
+    c2, gc3 = 0.01, 1e-3
+    d = np.asarray(com[0]) - probes[0]
+    u = 1.0 / np.sqrt(c2 * (d * d).sum() + EPS2)
+    mono = float(np.asarray(m_tot)[0]) * gc3 * u**3 * d
+    np.testing.assert_allclose(got, mono, rtol=1e-4, atol=1e-8)
+
+
+def test_vip_tiles_are_exact_both_ways():
+    """Bodies in the largest-radius tiles get exact forces, and their
+    sources are exact for everyone (no tree contribution)."""
+    state = _sorted_plummer(2048, seed=6)
+    want = np.asarray(direct_acc(state.pos, state.mass, eps2=EPS2))
+    got = np.asarray(treecode_acc(state.pos, state.mass, eps2=EPS2, tile=32,
+                                  theta=0.5, max_near=16, vip_tiles=16,
+                                  use_pallas=False))
+    # identify VIP bodies the same way the solver does
+    _, _, radius, _ = tile_summaries(state.pos, state.mass, 32)
+    vip = np.argsort(-np.asarray(radius))[:16]
+    vip_rows = (vip[:, None] * 32 + np.arange(32)).reshape(-1)
+    err = _rel_err(got[vip_rows], want[vip_rows])
+    assert np.percentile(err, 99) < 1e-4   # exact rows (f32 rounding only)
+
+
+def test_simulation_wiring_auto_sort_and_capacity():
+    """SimConfig(solver='treecode') is a first-class solver: Simulation
+    auto-enables Morton sorting, auto-tunes the near capacity, and runs."""
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8)
+    sim = Simulation(cfg, models.plummer(2048, seed=7))
+    assert sim.cfg.morton_sort
+    assert sim.cfg.tree_max_near > 0
+    sim.run(3)
+    assert bool(jnp.all(jnp.isfinite(sim.state.pos)))
+    d = sim.diagnostics()
+    assert np.isfinite(d["energy"])
+
+
+def test_rejects_bad_shapes_and_theta():
+    state = _sorted_plummer(256, seed=8)
+    with pytest.raises(ValueError):
+        treecode_acc(state.pos[:100], state.mass[:100], eps2=EPS2, tile=32)
+    with pytest.raises(ValueError):
+        treecode_acc(state.pos, state.mass, eps2=EPS2, tile=32, theta=1.5)
