@@ -89,27 +89,37 @@ def tile_summaries(pos: jax.Array, mass: jax.Array, tile: int):
     sum_a m_a outer(delta_a, delta_a), packed [xx, yy, zz, xy, xz, yz].
     Empty (all-massless) tiles get m_tot = radius = quad = 0 and are inert
     as sources.
+
+    Componentwise throughout: intermediates shaped (..., 3) take TPU's
+    128-lane tiled layout on the trailing axis (42x padding) and were
+    measured ~100x slower than this form.
     """
     n = pos.shape[0]
     k = n // tile
-    p = pos.reshape(k, tile, 3)
+    x = pos[:, 0].reshape(k, tile)
+    y = pos[:, 1].reshape(k, tile)
+    z = pos[:, 2].reshape(k, tile)
     m = mass.reshape(k, tile)
     m_tot = jnp.sum(m, axis=1)                                  # (K,)
-    safe = jnp.maximum(m_tot, _TINY)
-    com = jnp.sum(m[..., None] * p, axis=1) / safe[:, None]     # (K, 3)
-    com = jnp.where(m_tot[:, None] > 0, com, jnp.mean(p, axis=1))
-    d = p - com[:, None, :]                                     # (K, T, 3)
-    r2 = jnp.sum(d * d, axis=-1)                                # (K, T)
+    inv_m = 1.0 / jnp.maximum(m_tot, _TINY)
+    has_mass = m_tot > 0
+    cx = jnp.where(has_mass, jnp.sum(m * x, axis=1) * inv_m, jnp.mean(x, axis=1))
+    cy = jnp.where(has_mass, jnp.sum(m * y, axis=1) * inv_m, jnp.mean(y, axis=1))
+    cz = jnp.where(has_mass, jnp.sum(m * z, axis=1) * inv_m, jnp.mean(z, axis=1))
+    dx = x - cx[:, None]                                        # (K, T)
+    dy = y - cy[:, None]
+    dz = z - cz[:, None]
+    r2 = dx * dx + dy * dy + dz * dz
     radius = jnp.sqrt(jnp.max(jnp.where(m > 0, r2, 0.0), axis=1))
-    md = m[..., None] * d
+    com = jnp.stack([cx, cy, cz], axis=1)                       # (K, 3)
     quad = jnp.stack(
         [
-            jnp.sum(md[..., 0] * d[..., 0], axis=1),
-            jnp.sum(md[..., 1] * d[..., 1], axis=1),
-            jnp.sum(md[..., 2] * d[..., 2], axis=1),
-            jnp.sum(md[..., 0] * d[..., 1], axis=1),
-            jnp.sum(md[..., 0] * d[..., 2], axis=1),
-            jnp.sum(md[..., 1] * d[..., 2], axis=1),
+            jnp.sum(m * dx * dx, axis=1),
+            jnp.sum(m * dy * dy, axis=1),
+            jnp.sum(m * dz * dz, axis=1),
+            jnp.sum(m * dx * dy, axis=1),
+            jnp.sum(m * dx * dz, axis=1),
+            jnp.sum(m * dy * dz, axis=1),
         ],
         axis=1,
     )                                                           # (K, 6)
@@ -129,14 +139,24 @@ def _min_tile_dist(pos: jax.Array, com: jax.Array, tile: int) -> jax.Array:
     """(K_t, K_s): min over bodies of target tile i of |y - com_j|."""
     n = pos.shape[0]
     k_s = com.shape[0]
-    chunk = _chunk_size(n, 8192)
+    # chunk must divide n AND be a tile multiple (for the in-chunk min).
+    chunk = tile * _chunk_size(n // tile, max(8192 // tile, 1))
+    cx, cy, cz = com[:, 0], com[:, 1], com[:, 2]
 
-    def per_chunk(p_c):
-        d = com[None, :, :] - p_c[:, None, :]                   # (C, K_s, 3)
-        return jnp.sqrt(jnp.sum(d * d, axis=-1))
+    def per_chunk(args):
+        x_c, y_c, z_c = args                                    # (C,) each
+        dx = cx[None, :] - x_c[:, None]                         # (C, K_s)
+        dy = cy[None, :] - y_c[:, None]
+        dz = cz[None, :] - z_c[:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        # min within each target tile, inside the chunk (chunk % tile == 0)
+        return jnp.min(d2.reshape(-1, tile, k_s), axis=1)
 
-    d_bt = lax.map(per_chunk, pos.reshape(n // chunk, chunk, 3))
-    return jnp.min(d_bt.reshape(n // tile, tile, k_s), axis=1)
+    shape = (n // chunk, chunk)
+    d2_min = lax.map(per_chunk, (pos[:, 0].reshape(shape),
+                                 pos[:, 1].reshape(shape),
+                                 pos[:, 2].reshape(shape)))
+    return jnp.sqrt(d2_min.reshape(n // tile, k_s))
 
 
 def _vip_split(pos, mass, tile: int, vip_tiles: int):
@@ -250,10 +270,13 @@ def _far_field(pos, com, m_tot, quad, near_mask, *,
     sxy, sxz, syz = quad[:, 3], quad[:, 4], quad[:, 5]
     tr = sxx + syy + szz                                        # (K,)
 
+    cx, cy, cz = com[:, 0], com[:, 1], com[:, 2]
+
     def per_chunk(args):
-        pos_c, mask_c = args                                    # (C,3), (C,K)
-        d = com[None, :, :] - pos_c[:, None, :]                 # (C, K, 3)
-        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        x_c, y_c, z_c, mask_c = args                            # (C,), (C,K)
+        dx = cx[None, :] - x_c[:, None]                         # (C, K)
+        dy = cy[None, :] - y_c[:, None]
+        dz = cz[None, :] - z_c[:, None]
         r2 = dx * dx + dy * dy + dz * dz
         u2 = 1.0 / (c2 * r2 + eps2)
         u = jnp.sqrt(u2)
@@ -273,17 +296,80 @@ def _far_field(pos, com, m_tot, quad, near_mask, *,
         az = jnp.sum(wd * dz + ws * sdz, axis=1)
         return gc * jnp.stack([ax, ay, az], axis=1)             # (C, 3)
 
-    chunk = _chunk_size(n, 8192)
+    chunk = tile * _chunk_size(n // tile, max(8192 // tile, 1))
     body_tile = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] // tile
     mask = near_mask[body_tile]                                 # (N, K)
+    shape = (n // chunk, chunk)
     return lax.map(
         per_chunk,
-        (pos.reshape(n // chunk, chunk, 3),
-         mask.reshape(n // chunk, chunk, k)),
+        (pos[:, 0].reshape(shape), pos[:, 1].reshape(shape),
+         pos[:, 2].reshape(shape), mask.reshape(n // chunk, chunk, k)),
     ).reshape(n, 3)
 
 
 # -------------------------------------------------------------- near field
+def _gather_kernel(near_ref, *refs, group: int, tile: int):
+    """Panel-gather copy kernel: assemble ``group`` near tiles per step.
+
+    XLA's gather materializes either element-gathers (measured 10.7 s at
+    N=65k) or a lane-padded (K*W, 4) layout (32x HBM, OOM); this kernel
+    instead drives ``group`` index-mapped 512-byte DMAs per grid step from
+    a (K, 4, T) tile array — the near list lives in the index maps, the
+    body just lays the fetched tiles side by side. Runs at DMA speed.
+    """
+    del near_ref  # consumed by the index maps
+    out = refs[group]
+    for s in range(group):
+        out[:, s * tile:(s + 1) * tile] = refs[s][0]
+
+
+def _gather_panels_pallas(pos, scaled_mass, near_idx, tile: int,
+                          interpret: bool):
+    """(4, K*W) gathered [x y z m] panels via the copy kernel."""
+    n = pos.shape[0]
+    k_src = n // tile
+    k, m_near = near_idx.shape
+    group = math.gcd(m_near, 16)
+    f32 = jnp.float32
+    tiles = jnp.stack(
+        [pos[:, 0].reshape(k_src, tile), pos[:, 1].reshape(k_src, tile),
+         pos[:, 2].reshape(k_src, tile), scaled_mass.reshape(k_src, tile)],
+        axis=1,
+    )                                                           # (K, 4, T)
+    def make_map(s):
+        return lambda p, nr: (nr[p * group + s], 0, 0)
+
+    # The prefetched near list lives in SMEM (1 MiB): segment the gather
+    # over target-row blocks so each call's index slice fits comfortably.
+    seg_rows = max(1, min(k, 65536 // m_near))
+    while k % seg_rows:
+        seg_rows -= 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=((seg_rows * m_near) // group,),
+        in_specs=[pl.BlockSpec((1, 4, tile), make_map(s))
+                  for s in range(group)],
+        out_specs=pl.BlockSpec((4, group * tile), lambda p, nr: (0, p)),
+    )
+    call = pl.pallas_call(
+        functools.partial(_gather_kernel, group=group, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, seg_rows * m_near * tile), f32),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=8 * seg_rows * m_near * tile * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    outs = [
+        call(near_idx[r0:r0 + seg_rows].reshape(-1), *([tiles] * group))
+        .reshape(4, seg_rows, m_near * tile)
+        for r0 in range(0, k, seg_rows)
+    ]
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
 def _gather_panels(pos, scaled_mass, near_idx, tile: int):
     """(4, K, M*T) gathered [x y z m] panels per target tile.
 
@@ -372,8 +458,13 @@ def _near_field_pallas(pos, panels, *, eps2: float, c2: float, tile: int,
     n = pos.shape[0]
     _, k, width = panels.shape
     f32 = jnp.float32
-    # Panel chunk: largest divisor of the panel width <= 512 lanes.
-    ctile = _chunk_size(width, 512)
+    # Panel chunk: as wide as VMEM allows (fewer grid steps — per-step
+    # overhead dominated at 512 lanes: 53k steps measured ~55 ms; one
+    # chunk per row tile is ~2k steps). Must stay a 128-multiple divisor.
+    if width % 128 == 0:
+        ctile = 128 * _chunk_size(width // 128, 16384 // 128)
+    else:
+        ctile = _chunk_size(width, 512)  # interpret-mode small shapes
     rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)  # (N, 4)
     # (4, K*W) lane-major: a (4, ctile) block's sublane dim then equals the
     # full array dim, which Mosaic accepts (sublane 4 is not 8-divisible).
@@ -472,7 +563,9 @@ def treecode_acc(
     if not (0.0 < theta <= 1.0):
         raise ValueError(f"theta must be in (0, 1], got {theta}")
     k = n // tile
-    max_near = min(max_near, k)
+    # Round the capacity to a multiple of 4 (keeps the Pallas panel width
+    # 128-lane aligned for tile=32); extra slots only add exact tiles.
+    max_near = min(-(-max_near // 4) * 4, k)
     vip_tiles = _clamp_vip(vip_tiles, k)
     c2 = compensate * compensate
     gc3 = G * c2 * compensate
@@ -494,11 +587,13 @@ def treecode_acc(
     near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
 
     scaled_tree_mass = mass_tree * f32(gc3)
-    panels = _gather_panels(pos, scaled_tree_mass, near_idx, tile)
     if use_pallas:
+        panels = _gather_panels_pallas(pos, scaled_tree_mass, near_idx,
+                                       tile, interpret)
         acc = _near_field_pallas(pos, panels, eps2=eps2, c2=c2, tile=tile,
                                  interpret=interpret)
     else:
+        panels = _gather_panels(pos, scaled_tree_mass, near_idx, tile)
         acc = _near_field_xla(pos, panels, eps2=eps2, c2=c2, tile=tile)
 
     if max_near < k:

@@ -130,7 +130,7 @@ def test_isotropic_quadrupole_is_inert():
     d = np.asarray(com[0]) - probes[0]
     u = 1.0 / np.sqrt(c2 * (d * d).sum() + EPS2)
     mono = float(np.asarray(m_tot)[0]) * gc3 * u**3 * d
-    np.testing.assert_allclose(got, mono, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(got, mono, rtol=5e-4, atol=1e-7)
 
 
 def test_vip_tiles_are_exact_both_ways():

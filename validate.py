@@ -15,6 +15,114 @@ import sys
 import time
 
 
+def _numpy_f64_trajectory(pos, vel, mass, *, dt, steps, eps2, compensate,
+                          integrator):
+    """Float64 oracle: direct-sum + integrator in numpy (chunked rows)."""
+    import numpy as np
+
+    pos = np.asarray(pos, np.float64).copy()
+    vel = np.asarray(vel, np.float64).copy()
+    mass = np.asarray(mass, np.float64)
+    c2 = compensate * compensate
+    gc3 = c2 * compensate
+    n = pos.shape[0]
+
+    def acc_of(p):
+        out = np.empty_like(p)
+        for a in range(0, n, 1024):
+            d = p[None, :, :] - p[a:a + 1024, None, :]
+            r2 = np.einsum("ijk,ijk->ij", d, d)
+            w = (gc3 * mass)[None, :] * (c2 * r2 + eps2) ** -1.5
+            out[a:a + 1024] = np.einsum("ij,ijk->ik", w, d)
+        return out
+
+    if integrator == "leapfrog":
+        acc = acc_of(pos)
+        for _ in range(steps):
+            v_half = vel + acc * (0.5 * dt)
+            pos = pos + v_half * dt
+            acc = acc_of(pos)
+            vel = v_half + acc * (0.5 * dt)
+    else:
+        for _ in range(steps):
+            vel = vel + acc_of(pos) * dt
+            pos = pos + vel * dt
+    return pos, vel
+
+
+def run_convergence(args) -> None:
+    """dt-scaling + f64-oracle study (VERDICT r1 #6).
+
+    The reference provides no drift number to match (its report PDF is not
+    in the repo), so the defensible criterion is: (a) energy drift scales
+    with the integrator's formal order — O(dt) for semi-implicit Euler,
+    O(dt^2) for KDK leapfrog — and (b) short f32 trajectories track a
+    float64 direct-sum oracle to f32-accumulation levels.
+    """
+    import numpy as np
+
+    from n_body_problem_tpu import SimConfig, Simulation, models
+
+    n = args.n if args.n <= 8192 else 4096
+    t_phys = 2.0
+    dts = [0.032, 0.016, 0.008, 0.004]
+    scaling = {}
+    for integrator in ("semi_implicit_euler", "leapfrog"):
+        drifts = []
+        for dt in dts:
+            cfg = SimConfig(dt=dt, solver=args.solver, integrator=integrator)
+            sim = Simulation(cfg, models.plummer(n, seed=0))
+            e0 = sim.diagnostics()["energy"]
+            max_drift = 0.0
+            steps = int(round(t_phys / dt))
+            for _ in range(4):  # sample the oscillation, not one endpoint
+                sim.run(max(steps // 4, 1))
+                drift = abs((sim.diagnostics()["energy"] - e0) / e0)
+                max_drift = max(max_drift, drift)
+            drifts.append(max_drift)
+            print(f"convergence: {integrator} dt={dt}: |dE/E| max {max_drift:.3e}",
+                  file=sys.stderr)
+        # log-log slope: drift ~ dt^p
+        p = np.polyfit(np.log(dts), np.log(drifts), 1)[0]
+        scaling[integrator] = {"dts": dts, "max_abs_drift": drifts,
+                               "fitted_order": float(p)}
+
+    # f64 oracle short-run trajectory deltas (CPU, numpy).
+    cfg = SimConfig(dt=0.008, solver=args.solver, integrator="leapfrog")
+    state0 = models.plummer(n, seed=0)
+    sim = Simulation(cfg, state0)
+    sim.run(50)
+    ref_pos, _ = _numpy_f64_trajectory(
+        state0.pos, state0.vel, state0.mass, dt=0.008, steps=50,
+        eps2=cfg.eps2, compensate=cfg.compensate, integrator="leapfrog",
+    )
+    # Simulation may Morton-sort; map back via sort_perm when present.
+    got = np.asarray(sim.state.pos[:state0.n])
+    if sim.sort_perm is not None:
+        inv = np.empty_like(sim.sort_perm)
+        inv[sim.sort_perm] = np.arange(len(sim.sort_perm))
+        got = got[inv]
+    delta = np.linalg.norm(got - ref_pos, axis=1)
+    disp = np.linalg.norm(ref_pos - np.asarray(state0.pos), axis=1)
+    report = {
+        "metric": "integrator order (fitted)",
+        "value": scaling["leapfrog"]["fitted_order"],
+        "unit": "d log(drift) / d log(dt)",
+        "n": n,
+        "solver": args.solver,
+        "scaling": scaling,
+        "oracle_f64": {
+            "steps": 50,
+            "dt": 0.008,
+            "pos_delta_median": float(np.median(delta)),
+            "pos_delta_p99": float(np.percentile(delta, 99)),
+            "pos_delta_max": float(delta.max()),
+            "displacement_median": float(np.median(disp)),
+        },
+    }
+    print(json.dumps(report))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=20000)
@@ -26,7 +134,13 @@ def main() -> None:
     ap.add_argument("--dataset", type=int, default=-1,
                     help="load a dataset id instead of a Plummer sphere")
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--convergence", action="store_true",
+                    help="dt-scaling + f64-oracle study instead of a long run")
     args = ap.parse_args()
+
+    if args.convergence:
+        run_convergence(args)
+        return
 
     import numpy as np
 
