@@ -17,6 +17,7 @@ snap exports land in ``--out``.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import pathlib
 import sys
 
@@ -118,6 +119,17 @@ def cmd_run(args) -> int:
         theta_deg=args.cam_theta, phi_deg=args.cam_phi,
         distance=cam_dist * args.cam_zoom, aspect=args.width / args.height,
     )
+    render_every = args.render_every
+    live = None
+    if args.serve:
+        from n_body_problem_tpu.render.server import LiveViewer
+
+        live = LiveViewer(args.serve, camera, exposure=args.exposure,
+                          host=args.serve_host)
+        live.stats["n"] = sim.state.n_real
+        render_every = render_every or args.steps_per_block
+        print(f"live viewer: http://{args.serve_host}:{live.port}/",
+              file=sys.stderr)
     viewer = (
         FrameWriter(out / "frames", exposure=args.exposure)
         if args.render_every else None
@@ -125,7 +137,7 @@ def cmd_run(args) -> int:
     timer = StepTimer(n_bodies=sim.state.n_real)
 
     # A block must not straddle any output interval, or events get skipped.
-    intervals = [v for v in (args.render_every, args.diag_every,
+    intervals = [v for v in (render_every, args.diag_every,
                              args.checkpoint_every) if v > 0]
     block = min([args.steps_per_block] + intervals)
     done = 0
@@ -140,13 +152,23 @@ def cmd_run(args) -> int:
                 done += todo
                 if timer.window_full:
                     timer.report()
-                if args.render_every and done % args.render_every < todo:
-                    frame = render_state(
-                        sim.state, camera, scales,
-                        width=args.width, height=args.height,
-                    )
-                    viewer.submit(frame_idx, frame)
-                    frame_idx += 1
+                if render_every and done % render_every < todo:
+                    lock = live.camera_lock if live else contextlib.nullcontext()
+                    with lock:  # /control mutates the camera concurrently
+                        frame = render_state(
+                            sim.state, camera, scales,
+                            width=args.width, height=args.height,
+                        )
+                    if live:
+                        live.submit(frame)
+                        live.stats.update(
+                            step=done,
+                            ms_per_step=timer.total_time
+                            / max(timer.total_steps, 1) * 1e3,
+                        )
+                    if viewer:
+                        viewer.submit(frame_idx, frame)
+                        frame_idx += 1
                 if args.diag_every and done % args.diag_every < todo:
                     d = sim.diagnostics()
                     drift = (d["energy"] - e0) / abs(e0) if e0 else 0.0
@@ -159,6 +181,8 @@ def cmd_run(args) -> int:
     finally:
         if viewer:
             viewer.close()
+        if live:
+            live.close()
 
     if args.gif and viewer and viewer.frames_written:
         from n_body_problem_tpu.render.viewer import assemble_gif
@@ -256,6 +280,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--steps-per-block", type=int, default=50)
     r.add_argument("--out", default="out")
     r.add_argument("--render-every", type=int, default=0)
+    r.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="live HTTP viewer (MJPEG + orbit/zoom controls); "
+                        "renders every --render-every steps (default: "
+                        "every steps-per-block)")
+    r.add_argument("--serve-host", default="127.0.0.1")
     r.add_argument("--gif", action="store_true",
                    help="assemble frames into movie.gif (needs Pillow)")
     r.add_argument("--gif-fps", type=float, default=25.0)

@@ -64,6 +64,8 @@ class SimConfig:
     tree_theta: float = 0.5    # Barnes-Hut opening angle
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
     tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
+    tree_rebuild_every: int = 16  # reuse acceptance lists this many steps
+                                  # inside Simulation.run (1 = every step)
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps
@@ -96,6 +98,8 @@ class SimConfig:
             raise ValueError(f"tree_theta must be in (0, 1], got {self.tree_theta}")
         if self.tree_max_near < 0 or self.tree_vip_tiles < 0:
             raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
+        if self.tree_rebuild_every < 1:
+            raise ValueError("tree_rebuild_every must be >= 1")
 
     # Effective Plummer softening (added to the unscaled squared distance).
     @property

@@ -159,12 +159,31 @@ def _min_tile_dist(pos: jax.Array, com: jax.Array, tile: int) -> jax.Array:
     return jnp.sqrt(d2_min.reshape(n // tile, k_s))
 
 
+def _tile_radius(pos, mass, tile: int):
+    """Radius-only summary (the VIP selector needs nothing else)."""
+    n = pos.shape[0]
+    k = n // tile
+    x = pos[:, 0].reshape(k, tile)
+    y = pos[:, 1].reshape(k, tile)
+    z = pos[:, 2].reshape(k, tile)
+    m = mass.reshape(k, tile)
+    inv_m = 1.0 / jnp.maximum(jnp.sum(m, axis=1), _TINY)
+    cx = jnp.sum(m * x, axis=1) * inv_m
+    cy = jnp.sum(m * y, axis=1) * inv_m
+    cz = jnp.sum(m * z, axis=1) * inv_m
+    dx = x - cx[:, None]
+    dy = y - cy[:, None]
+    dz = z - cz[:, None]
+    r2 = dx * dx + dy * dy + dz * dz
+    return jnp.sqrt(jnp.max(jnp.where(m > 0, r2, 0.0), axis=1))
+
+
 def _vip_split(pos, mass, tile: int, vip_tiles: int):
     """(mass_tree, vip_body_idx (W,), is_vip_body (N,)) — pull the
     ``vip_tiles`` largest-radius tiles out of the tree."""
     n = pos.shape[0]
     k = n // tile
-    _, _, radius, _ = tile_summaries(pos, mass, tile)
+    radius = _tile_radius(pos, mass, tile)
     _, vip_idx = lax.top_k(radius, vip_tiles)                   # (V,)
     body_idx = (vip_idx[:, None] * tile
                 + jnp.arange(tile, dtype=vip_idx.dtype)[None, :]).reshape(-1)
@@ -227,12 +246,14 @@ def suggest_max_near(
     tile: int = DEFAULT_TILE,
     theta: float = DEFAULT_THETA,
     vip_tiles: int = DEFAULT_VIP_TILES,
-    margin: float = 1.3,
-    multiple: int = 16,
+    margin: float = 1.1,
+    multiple: int = 32,
 ) -> int:
     """Static near-list capacity for this body distribution (host-side).
 
-    ``margin`` absorbs near-count growth between Morton re-sorts;
+    ``margin`` absorbs near-count growth between Morton re-sorts (near
+    cost is linear in the capacity, so the default is modest; spare slots
+    also tighten accuracy by computing the worst far tiles exactly);
     ``multiple`` keeps the Pallas panel width a lane-friendly size.
     """
     counts = np.asarray(open_counts(
@@ -246,6 +267,115 @@ def suggest_max_near(
 
 
 # --------------------------------------------------------------- far field
+def _far_kernel(rows_ref,       # (T, 4) target tile [x y z _]
+                summ_ref,       # (16, K) resident tile summaries
+                mask_ref,       # (1, K) this target tile's near mask (f32)
+                out_ref,        # (T, 8)
+                acc_x, acc_y, acc_z,   # (T, CK) deferred accumulators
+                *, c2, eps2, gc, ck):
+    """Monopole+quadrupole far field, one target tile per grid row.
+
+    Summary panel rows: 0..2 com, 3 m_tot, 4..9 quad [xx yy zz xy xz yz],
+    10 tr(S). ~40 VPU ops per (body, tile) interaction; the near-mask
+    multiplies weights to zero (masked tiles are handled exactly by the
+    near field / VIP sweep).
+    """
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    t = rows_ref.shape[0]
+    co = pl.multiple_of(c * ck, ck)
+
+    xi = rows_ref[:, 0:1]
+    yi = rows_ref[:, 1:2]
+    zi = rows_ref[:, 2:3]
+    s = summ_ref[:, pl.ds(co, ck)]                  # (16, CK)
+    live = 1.0 - mask_ref[0, :, pl.ds(co, ck)]      # (1, CK)
+
+    dx = s[0:1, :] - xi                             # (T, CK)
+    dy = s[1:2, :] - yi
+    dz = s[2:3, :] - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    u2 = 1.0 / (c2 * r2 + eps2)
+    u = jnp.sqrt(u2)
+    u3 = u2 * u
+    u5 = u3 * u2
+    u7 = u5 * u2
+    sdx = s[4:5, :] * dx + s[7:8, :] * dy + s[8:9, :] * dz
+    sdy = s[7:8, :] * dx + s[5:6, :] * dy + s[9:10, :] * dz
+    sdz = s[8:9, :] * dx + s[9:10, :] * dy + s[6:7, :] * dz
+    q = dx * sdx + dy * sdy + dz * sdz
+    c4 = c2 * c2
+    c6 = c4 * c2
+    wd = (s[3:4, :] * c2 * u3 - 1.5 * c4 * s[10:11, :] * u5
+          + 7.5 * c6 * q * u7) * live
+    ws = (-3.0 * c4 * u5) * live
+
+    @pl.when(c == 0)
+    def _():
+        acc_x[...] = wd * dx + ws * sdx
+        acc_y[...] = wd * dy + ws * sdy
+        acc_z[...] = wd * dz + ws * sdz
+
+    @pl.when(c > 0)
+    def _():
+        acc_x[...] += wd * dx + ws * sdx
+        acc_y[...] += wd * dy + ws * sdy
+        acc_z[...] += wd * dz + ws * sdz
+
+    @pl.when(c == nc - 1)
+    def _():
+        out_ref[...] = gc * jnp.concatenate(
+            [
+                jnp.sum(acc_x[...], axis=1, keepdims=True),
+                jnp.sum(acc_y[...], axis=1, keepdims=True),
+                jnp.sum(acc_z[...], axis=1, keepdims=True),
+                jnp.zeros((t, 5), out_ref.dtype),
+            ],
+            axis=1,
+        )
+
+
+def _far_field_pallas(pos, com, m_tot, quad, near_mask, *,
+                      eps2: float, c2: float, G: float, tile: int,
+                      interpret: bool):
+    n = pos.shape[0]
+    k = com.shape[0]
+    f32 = jnp.float32
+    rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)   # (N, 4)
+    tr = quad[:, 0] + quad[:, 1] + quad[:, 2]
+    summ = jnp.concatenate(
+        [com.T, m_tot.reshape(1, k), quad.T, tr.reshape(1, k),
+         jnp.zeros((5, k), f32)], axis=0,
+    )                                                               # (16, K)
+    # (K_t, 1, K): a (1, 1, K) block satisfies Mosaic's last-two-dims rule
+    # (sublane dim equals the array dim).
+    maskf = near_mask.astype(f32).reshape(n // tile, 1, k)
+    ck = 128 * _chunk_size(k // 128, 8) if k % 128 == 0 else k
+    out = pl.pallas_call(
+        functools.partial(_far_kernel, c2=float(c2), eps2=float(eps2),
+                          gc=float(G * math.sqrt(c2)), ck=ck),
+        grid=(n // tile, k // ck),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 8), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8), f32),
+        scratch_shapes=[pltpu.VMEM((tile, ck), f32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n * k,
+            bytes_accessed=(n * 4 + 16 * k + (n // tile) * k + n * 8) * 4,
+            transcendentals=n * k,
+        ),
+        interpret=interpret,
+    )(rows, summ, maskf)
+    return out[:, :3]
+
+
 def _far_field(pos, com, m_tot, quad, near_mask, *,
                eps2: float, c2: float, G: float, tile: int):
     """Monopole+quadrupole acceleration from all non-near tiles.
@@ -329,7 +459,7 @@ def _gather_panels_pallas(pos, scaled_mass, near_idx, tile: int,
     n = pos.shape[0]
     k_src = n // tile
     k, m_near = near_idx.shape
-    group = math.gcd(m_near, 16)
+    group = math.gcd(m_near, 32)
     f32 = jnp.float32
     tiles = jnp.stack(
         [pos[:, 0].reshape(k_src, tile), pos[:, 1].reshape(k_src, tile),
@@ -407,16 +537,18 @@ def _near_field_xla(pos, panels, *, eps2: float, c2: float, tile: int):
     ).reshape(n, 3)
 
 
-def _near_kernel(rows_ref, pan_ref, out_ref, acc_x, acc_y, acc_z,
-                 *, c2, eps2, tile):
+def _near_kernel(rows_ref, pan_ref, out_ref, *, c2, eps2, tile):
     """Near-panel kernel: row tile resident, its gathered panel streamed.
 
-    Same 12-op VPU pair loop as the dense blocked kernel
-    (``pallas_force._force_kernel``); deferred per-lane accumulators are
-    lane-reduced once per row tile on the final panel chunk.
+    Plain VPU pair loop with per-chunk register reductions into the (T, 8)
+    output. Alternatives measured and rejected at N=65k on v5e: deferred
+    (T, chunk) VMEM accumulators (no faster), MXU accumulation via
+    ``(W @ [Pc, 1])`` fix-up (HIGHEST's six bf16 passes at a (32, 4) output
+    tile run ~10% slower than the VPU reductions), fast-rsqrt variants
+    (bit-trick + Newton, ``pl.reciprocal(approx=True)`` — all slower than
+    the hardware rsqrt, which costs only ~20% of the loop).
     """
     c = pl.program_id(1)
-    nc = pl.num_programs(1)
 
     xi = rows_ref[:, 0:1]                                       # (T, 1)
     yi = rows_ref[:, 1:2]
@@ -428,29 +560,23 @@ def _near_kernel(rows_ref, pan_ref, out_ref, acc_x, acc_y, acc_z,
     inv = lax.rsqrt(r2 * c2 + eps2)
     w = pan_ref[3:4, :] * (inv * inv * inv)
 
+    upd = jnp.concatenate(
+        [
+            jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True),
+            jnp.zeros((tile, 5), out_ref.dtype),
+        ],
+        axis=1,
+    )
+
     @pl.when(c == 0)
     def _():
-        acc_x[...] = w * dx
-        acc_y[...] = w * dy
-        acc_z[...] = w * dz
+        out_ref[...] = upd
 
     @pl.when(c > 0)
     def _():
-        acc_x[...] += w * dx
-        acc_y[...] += w * dy
-        acc_z[...] += w * dz
-
-    @pl.when(c == nc - 1)
-    def _():
-        out_ref[...] = jnp.concatenate(
-            [
-                jnp.sum(acc_x[...], axis=1, keepdims=True),
-                jnp.sum(acc_y[...], axis=1, keepdims=True),
-                jnp.sum(acc_z[...], axis=1, keepdims=True),
-                jnp.zeros((tile, 5), out_ref.dtype),
-            ],
-            axis=1,
-        )
+        out_ref[...] += upd
 
 
 def _near_field_pallas(pos, panels, *, eps2: float, c2: float, tile: int,
@@ -458,11 +584,11 @@ def _near_field_pallas(pos, panels, *, eps2: float, c2: float, tile: int,
     n = pos.shape[0]
     _, k, width = panels.shape
     f32 = jnp.float32
-    # Panel chunk: as wide as VMEM allows (fewer grid steps — per-step
-    # overhead dominated at 512 lanes: 53k steps measured ~55 ms; one
-    # chunk per row tile is ~2k steps). Must stay a 128-multiple divisor.
+    # Panel chunk: measured sweet spot ~3840 lanes (512-lane chunks are
+    # grid-overhead bound, full-width chunks keep too many vregs live).
+    # Must stay a 128-multiple divisor of the panel width.
     if width % 128 == 0:
-        ctile = 128 * _chunk_size(width // 128, 16384 // 128)
+        ctile = 128 * _chunk_size(width // 128, 3840 // 128)
     else:
         ctile = _chunk_size(width, 512)  # interpret-mode small shapes
     rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)  # (N, 4)
@@ -487,7 +613,6 @@ def _near_field_pallas(pos, panels, *, eps2: float, c2: float, tile: int,
         out_specs=pl.BlockSpec((tile, 8), lambda i, c: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8), f32),
-        scratch_shapes=[pltpu.VMEM((tile, ctile), f32)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=15 * n * width,
             bytes_accessed=(n * 4 + k * 4 * width + n * 8) * 4,
@@ -499,6 +624,113 @@ def _near_field_pallas(pos, panels, *, eps2: float, c2: float, tile: int,
 
 
 # --------------------------------------------------------------- VIP sweep
+def _vip_kernel(xi_ref, yi_ref, zi_ref, mi_ref,   # (TI, 1) all-body rows
+                xj_ref, yj_ref, zj_ref, mj_ref,   # (1, W) VIP panel, resident
+                out_ref,                          # (TI, 8) action rows
+                react_ref,                        # (8, W) resident reactions
+                *, c2, eps2, tile_j):
+    """One pass over all (body, VIP) pairs yields BOTH directions.
+
+    Newton's 3rd law on the rectangular sweep: the action of the VIP panel
+    on every body accumulates per-row (as in the blocked kernel), and the
+    reaction of every body on each VIP accumulates into a whole-resident
+    (8, W) buffer at static column offsets — halving what used to be two
+    dense sweeps. The reaction rows ARE the VIPs' complete accelerations
+    (the row set is all N bodies, VIPs included; self-pairs are zero).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    co = pl.multiple_of(j * tile_j, tile_j)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        react_ref[...] = jnp.zeros_like(react_ref)
+
+    dx = xj_ref[:, pl.ds(co, tile_j)] - xi_ref[:]   # (TI, TJ)
+    dy = yj_ref[:, pl.ds(co, tile_j)] - yi_ref[:]
+    dz = zj_ref[:, pl.ds(co, tile_j)] - zi_ref[:]
+    r2 = dx * dx + dy * dy + dz * dz
+    inv = lax.rsqrt(r2 * c2 + eps2)
+    u = inv * inv * inv
+    w = mj_ref[:, pl.ds(co, tile_j)] * u            # action weights
+    v = mi_ref[:] * u                               # reaction weights
+
+    ti = out_ref.shape[0]
+    upd = jnp.concatenate(
+        [
+            jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True),
+            jnp.zeros((ti, 5), out_ref.dtype),
+        ],
+        axis=1,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = upd
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[...] += upd
+
+    rupd = jnp.concatenate(
+        [
+            -jnp.sum(v * dx, axis=0, keepdims=True),
+            -jnp.sum(v * dy, axis=0, keepdims=True),
+            -jnp.sum(v * dz, axis=0, keepdims=True),
+            jnp.zeros((5, tile_j), react_ref.dtype),
+        ],
+        axis=0,
+    )
+    react_ref[:, pl.ds(co, tile_j)] += rupd
+
+
+def _vip_both_pallas(pos, scaled_mass_all, vip_body_idx, *,
+                     eps2: float, c2: float, interpret: bool):
+    """(action (N,3) of VIPs on every body, reaction (W,3) = VIP rows'
+    complete accelerations) in ONE rectangular Pallas sweep."""
+    n = pos.shape[0]
+    w_cnt = vip_body_idx.shape[0]
+    f32 = jnp.float32
+    tile_i = _chunk_size(n, 256)
+    tile_j = _chunk_size(w_cnt, 1024)
+    xi = pos[:, 0:1]
+    yi = pos[:, 1:2]
+    zi = pos[:, 2:3]
+    mi = scaled_mass_all.reshape(n, 1)
+    xj = pos[vip_body_idx, 0].reshape(1, w_cnt)
+    yj = pos[vip_body_idx, 1].reshape(1, w_cnt)
+    zj = pos[vip_body_idx, 2].reshape(1, w_cnt)
+    mj = scaled_mass_all[vip_body_idx].reshape(1, w_cnt)
+
+    col = lambda: pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out, react = pl.pallas_call(
+        functools.partial(_vip_kernel, c2=float(c2), eps2=float(eps2),
+                          tile_j=tile_j),
+        grid=(n // tile_i, w_cnt // tile_j),
+        in_specs=[col(), col(), col(), col(), vmem, vmem, vmem, vmem],
+        out_specs=(
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vmem,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 8), f32),
+            jax.ShapeDtypeStruct((8, w_cnt), f32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * n * w_cnt,
+            bytes_accessed=(4 * n + 4 * w_cnt + 8 * n + 8 * w_cnt) * 4,
+            transcendentals=n * w_cnt,
+        ),
+        interpret=interpret,
+    )(xi, yi, zi, mi, xj, yj, zj, mj)
+    return out[:, :3], react[:3, :].T
+
+
 def _dense_sweep(pos_i, pos_j, scaled_mass_j, *, eps2: float, c2: float,
                  use_pallas: bool, interpret: bool):
     """Exact acc of rows due to the (pre-scaled-mass) column panel."""
@@ -532,6 +764,56 @@ def _dense_sweep(pos_i, pos_j, scaled_mass_j, *, eps2: float, c2: float,
 
 
 # ------------------------------------------------------------------ solver
+def _static_args(n, tile, theta, max_near, vip_tiles):
+    if n % tile:
+        raise ValueError(f"treecode_acc: N={n} must be a multiple of tile={tile}")
+    if not (0.0 < theta <= 1.0):
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    k = n // tile
+    # Round the capacity to a multiple of 4 (keeps the Pallas panel width
+    # 128-lane aligned for tile=32); extra slots only add exact tiles.
+    max_near = min(-(-max_near // 4) * 4, k)
+    vip_tiles = _clamp_vip(vip_tiles, k)
+    return k, max_near, vip_tiles
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "theta", "max_near", "vip_tiles"),
+)
+def build_tree(
+    pos: jax.Array,
+    mass: jax.Array,
+    *,
+    tile: int = DEFAULT_TILE,
+    theta: float = DEFAULT_THETA,
+    max_near: int = DEFAULT_MAX_NEAR,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+):
+    """Acceptance structures: (near_idx, near_mask, is_vip_body).
+
+    The expensive, slowly-varying part of the solver (top_k over the
+    (K, K) opening ratios + VIP selection). Bodies move ~v*dt per step
+    while tile scales are ~100x larger, so callers may reuse the result
+    across ``SimConfig.tree_rebuild_every`` steps — the ``suggest_max_near``
+    margin absorbs the drift (the lists stay conservative: stale entries
+    are merely computed exactly a little longer than strictly needed).
+    """
+    n = pos.shape[0]
+    k, max_near, vip_tiles = _static_args(n, tile, theta, max_near, vip_tiles)
+    f32 = jnp.float32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    if vip_tiles:
+        mass_tree, _, is_vip_body = _vip_split(pos, mass, tile, vip_tiles)
+    else:
+        is_vip_body = jnp.zeros((n,), bool)
+        mass_tree = mass
+    com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
+    near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
+    return near_idx, near_mask, is_vip_body
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -542,6 +824,7 @@ def _dense_sweep(pos_i, pos_j, scaled_mass_j, *, eps2: float, c2: float,
 def treecode_acc(
     pos: jax.Array,
     mass: jax.Array,
+    aux=None,
     *,
     eps2: float,
     compensate: float = 0.1,
@@ -555,18 +838,12 @@ def treecode_acc(
 ) -> jax.Array:
     """Approximate acc (N, 3): theta-criterion near/far split + exact VIPs.
 
-    Bodies should be Morton-sorted. ``max_near >= K`` is exact.
+    Bodies should be Morton-sorted. ``max_near >= K`` is exact. ``aux``
+    (from :func:`build_tree` with the same static knobs) reuses cached
+    acceptance structures; None rebuilds them for this evaluation.
     """
     n = pos.shape[0]
-    if n % tile:
-        raise ValueError(f"treecode_acc: N={n} must be a multiple of tile={tile}")
-    if not (0.0 < theta <= 1.0):
-        raise ValueError(f"theta must be in (0, 1], got {theta}")
-    k = n // tile
-    # Round the capacity to a multiple of 4 (keeps the Pallas panel width
-    # 128-lane aligned for tile=32); extra slots only add exact tiles.
-    max_near = min(-(-max_near // 4) * 4, k)
-    vip_tiles = _clamp_vip(vip_tiles, k)
+    k, max_near, vip_tiles = _static_args(n, tile, theta, max_near, vip_tiles)
     c2 = compensate * compensate
     gc3 = G * c2 * compensate
     f32 = jnp.float32
@@ -577,14 +854,21 @@ def treecode_acc(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    mass_tree = mass
+    if aux is None:
+        aux = build_tree(pos, mass, tile=tile, theta=theta,
+                         max_near=max_near, vip_tiles=vip_tiles)
+    near_idx, near_mask, is_vip_body = aux
     if vip_tiles:
-        mass_tree, vip_body_idx, is_vip_body = _vip_split(
-            pos, mass, tile, vip_tiles
-        )
+        vip_tile_idx = jnp.nonzero(
+            is_vip_body.reshape(k, tile)[:, 0], size=vip_tiles, fill_value=0
+        )[0]
+        vip_body_idx = (vip_tile_idx[:, None] * tile
+                        + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
+        mass_tree = jnp.where(is_vip_body, 0.0, mass)
+    else:
+        mass_tree = mass
 
-    com, m_tot, radius, quad = tile_summaries(pos, mass_tree, tile)
-    near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
+    com, m_tot, _, quad = tile_summaries(pos, mass_tree, tile)
 
     scaled_tree_mass = mass_tree * f32(gc3)
     if use_pallas:
@@ -597,17 +881,27 @@ def treecode_acc(
         acc = _near_field_xla(pos, panels, eps2=eps2, c2=c2, tile=tile)
 
     if max_near < k:
-        acc = acc + _far_field(pos, com, m_tot, quad, near_mask,
-                               eps2=eps2, c2=c2, G=G, tile=tile)
+        far = _far_field_pallas if use_pallas else _far_field
+        acc = acc + far(pos, com, m_tot, quad, near_mask,
+                        eps2=eps2, c2=c2, G=G, tile=tile,
+                        **({"interpret": interpret} if use_pallas else {}))
 
     if vip_tiles:
-        pos_v = pos[vip_body_idx]                               # (W, 3)
-        mass_v = (mass * f32(gc3))[vip_body_idx]                # original mass
-        # VIP as sources: exact pair force on every body.
-        acc = acc + _dense_sweep(pos, pos_v, mass_v, eps2=eps2, c2=c2,
-                                 use_pallas=use_pallas, interpret=interpret)
-        # VIP as targets: overwrite their rows with an exact all-source sweep.
-        acc_vip = _dense_sweep(pos_v, pos, mass * f32(gc3), eps2=eps2, c2=c2,
-                               use_pallas=use_pallas, interpret=interpret)
+        scaled_all = mass * f32(gc3)                            # original mass
+        if use_pallas:
+            # One rectangular sweep yields both directions (Newton's 3rd
+            # law): action of VIPs on every body + VIP rows' complete acc.
+            action, acc_vip = _vip_both_pallas(
+                pos, scaled_all, vip_body_idx, eps2=eps2, c2=c2,
+                interpret=interpret,
+            )
+            acc = acc + action
+        else:
+            pos_v = pos[vip_body_idx]                           # (W, 3)
+            acc = acc + _dense_sweep(pos, pos_v, scaled_all[vip_body_idx],
+                                     eps2=eps2, c2=c2,
+                                     use_pallas=False, interpret=interpret)
+            acc_vip = _dense_sweep(pos_v, pos, scaled_all, eps2=eps2, c2=c2,
+                                   use_pallas=False, interpret=interpret)
         acc = acc.at[vip_body_idx].set(acc_vip)
     return acc

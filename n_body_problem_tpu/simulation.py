@@ -41,6 +41,44 @@ def run_steps(state: SimState, step_fn: StepFn, n_steps: int) -> SimState:
     return state
 
 
+def make_treecode_run(cfg: SimConfig, backend: str | None = None):
+    """Chunked treecode run: rebuild the acceptance lists (top_k over the
+    (K, K) opening ratios + VIP selection — the dominant bookkeeping at
+    large K) every ``cfg.tree_rebuild_every`` steps instead of every step.
+    Bodies move ~v*dt per step against ~100x larger tile scales, so the
+    ``suggest_max_near`` margin covers the staleness. All on-device: the
+    rebuild happens inside the outer scan, no host round-trips.
+
+    Returns ``(state, step_fn_ignored, n_steps) -> state`` matching the
+    ``run_steps`` signature so Simulation can jit it identically.
+    """
+    from n_body_problem_tpu.ops.treecode import build_tree, treecode_acc
+
+    r = cfg.tree_rebuild_every
+    sel = dict(tile=cfg.tree_tile, theta=cfg.tree_theta,
+               max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
+    kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
+
+    def chunk(state: SimState, length: int) -> SimState:
+        aux = build_tree(state.pos, state.mass, **sel)
+        force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
+        step = make_integrator(cfg.integrator, force, cfg.dt)
+        return run_steps(state, step, length)
+
+    def run(state: SimState, _step_fn, n_steps: int) -> SimState:
+        full, rem = divmod(n_steps, r)
+        if full:
+            def outer(s, _):
+                return chunk(s, r), None
+
+            state, _ = lax.scan(outer, state, length=full)
+        if rem:
+            state = chunk(state, rem)
+        return state
+
+    return run
+
+
 def run_trajectory(
     state: SimState,
     step_fn: StepFn,
@@ -147,7 +185,12 @@ class Simulation:
         self.state = state
         self._step_fn = make_step_fn(cfg, backend, state.n)
         donate = (0,) if cfg.donate else ()
-        self._jit_run = jax.jit(run_steps, static_argnums=(1, 2), donate_argnums=donate)
+        run_impl = run_steps
+        if solver == "treecode" and cfg.tree_rebuild_every > 1:
+            # Amortize the acceptance rebuild over run() chunks (trajectory
+            # and movie keep the per-step rebuild — same physics, slower).
+            run_impl = make_treecode_run(cfg, backend)
+        self._jit_run = jax.jit(run_impl, static_argnums=(1, 2), donate_argnums=donate)
         self._jit_traj = jax.jit(
             run_trajectory, static_argnums=(1, 2, 3), donate_argnums=donate
         )
