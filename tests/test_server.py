@@ -43,9 +43,19 @@ def test_page_and_stats(viewer):
 def test_stream_yields_jpeg(viewer):
     resp = _get(viewer, "/stream")
     assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
-    chunk = resp.read(2048)
-    assert b"--frame" in chunk and b"image/jpeg" in chunk
-    assert b"\xff\xd8" in chunk  # JPEG SOI marker
+    # Parse exactly one part (reading a fixed byte count can block waiting
+    # for a second frame when the first JPEG is small).
+    assert resp.readline().strip() == b"--frame"
+    headers = {}
+    while True:
+        line = resp.readline().strip()
+        if not line:
+            break
+        k, v = line.split(b":", 1)
+        headers[k.strip().lower()] = v.strip()
+    assert headers[b"content-type"] == b"image/jpeg"
+    body = resp.read(int(headers[b"content-length"]))
+    assert body[:2] == b"\xff\xd8"  # JPEG SOI marker
 
 
 def test_controls_mutate_camera(viewer):
