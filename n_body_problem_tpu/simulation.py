@@ -42,39 +42,48 @@ def run_steps(state: SimState, step_fn: StepFn, n_steps: int) -> SimState:
 
 
 def make_treecode_run(cfg: SimConfig, backend: str | None = None):
-    """Chunked treecode run: rebuild the acceptance lists (top_k over the
-    (K, K) opening ratios + VIP selection — the dominant bookkeeping at
-    large K) every ``cfg.tree_rebuild_every`` steps instead of every step.
-    Bodies move ~v*dt per step against ~100x larger tile scales, so the
-    ``suggest_max_near`` margin covers the staleness. All on-device: the
-    rebuild happens inside the outer scan, no host round-trips.
+    """Chunked treecode run: every ``cfg.tree_rebuild_every`` steps,
+    re-Z-order the bodies ON DEVICE and rebuild the acceptance lists, then
+    scan the steps with both cached.
 
-    Returns ``(state, step_fn_ignored, n_steps) -> state`` matching the
-    ``run_steps`` signature so Simulation can jit it identically.
+    The resort is load-bearing, not an optimization: Morton tile locality
+    decays on the core crossing timescale (measured at N=65k Plummer: max
+    open count 451 fresh -> 506 after 8 steps -> 992 after 32), and once
+    counts blow past the static near capacity the leaked tiles' multipole
+    errors heat the core and the run explodes (round-2 lesson: a 10k-step
+    Euler run hit dE/E ~ 1e3 without this). Everything happens inside the
+    outer scan — zero host round-trips.
+
+    Returns ``(state, step_fn_ignored, n_steps) -> (state, ids)`` where
+    ``ids[i]`` is the input slot of the body now at slot i.
     """
     from n_body_problem_tpu.ops.treecode import build_tree, treecode_acc
+    from n_body_problem_tpu.utils.morton import device_resort
 
     r = cfg.tree_rebuild_every
     sel = dict(tile=cfg.tree_tile, theta=cfg.tree_theta,
                max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
 
-    def chunk(state: SimState, length: int) -> SimState:
+    def chunk(state: SimState, ids: jax.Array, length: int):
+        state, ids = device_resort(state, ids)
         aux = build_tree(state.pos, state.mass, **sel)
         force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
         step = make_integrator(cfg.integrator, force, cfg.dt)
-        return run_steps(state, step, length)
+        return run_steps(state, step, length), ids
 
-    def run(state: SimState, _step_fn, n_steps: int) -> SimState:
+    def run(state: SimState, _step_fn, n_steps: int):
+        ids = jnp.arange(state.n, dtype=jnp.int32)
         full, rem = divmod(n_steps, r)
         if full:
-            def outer(s, _):
-                return chunk(s, r), None
+            def outer(carry, _):
+                s, i = carry
+                return chunk(s, i, r), None
 
-            state, _ = lax.scan(outer, state, length=full)
+            (state, ids), _ = lax.scan(outer, (state, ids), length=full)
         if rem:
-            state = chunk(state, rem)
-        return state
+            state, ids = chunk(state, ids, rem)
+        return state, ids
 
     return run
 
@@ -149,6 +158,8 @@ class Simulation:
         if solver == "treecode" and not (cfg.morton_sort or cfg.resort_every):
             # The treecode's acceptance works on contiguous Morton tiles;
             # unsorted bodies would be silently inaccurate AND slow.
+            # (run() additionally re-sorts ON DEVICE every
+            # tree_rebuild_every steps — see make_treecode_run.)
             cfg = cfg.replace(morton_sort=True)
         self.cfg = cfg
         self.backend = backend
@@ -186,9 +197,12 @@ class Simulation:
         self._step_fn = make_step_fn(cfg, backend, state.n)
         donate = (0,) if cfg.donate else ()
         run_impl = run_steps
-        if solver == "treecode" and cfg.tree_rebuild_every > 1:
-            # Amortize the acceptance rebuild over run() chunks (trajectory
-            # and movie keep the per-step rebuild — same physics, slower).
+        self._run_returns_ids = solver == "treecode"
+        if self._run_returns_ids:
+            # Fused device resort + cached acceptance rebuild every
+            # tree_rebuild_every steps (trajectory and movie keep the
+            # per-step rebuild and are only safe for short spans; use
+            # run() + render_state for long treecode movies).
             run_impl = make_treecode_run(cfg, backend)
         self._jit_run = jax.jit(run_impl, static_argnums=(1, 2), donate_argnums=donate)
         self._jit_traj = jax.jit(
@@ -210,21 +224,36 @@ class Simulation:
         :meth:`trajectory` and :meth:`movie` are single device programs and
         deliberately do NOT re-sort mid-run."""
         t0 = _time.perf_counter()
-        r = self.cfg.resort_every
-        if r > 0:
-            done = 0
-            while n_steps - done >= r:
-                self.state = self._jit_run(self.state, self._step_fn, r)
-                done += r
-                if done < n_steps:  # skip the trailing sort: no steps follow
-                    self._resort()
-            if n_steps - done:
-                self.state = self._jit_run(self.state, self._step_fn, n_steps - done)
+        if self._run_returns_ids:
+            self.state, ids = self._jit_run(self.state, self._step_fn, n_steps)
+            self._track_ids(ids)
         else:
-            self.state = self._jit_run(self.state, self._step_fn, n_steps)
+            r = self.cfg.resort_every
+            if r > 0:
+                done = 0
+                while n_steps - done >= r:
+                    self.state = self._jit_run(self.state, self._step_fn, r)
+                    done += r
+                    if done < n_steps:  # skip trailing sort: no steps follow
+                        self._resort()
+                if n_steps - done:
+                    self.state = self._jit_run(
+                        self.state, self._step_fn, n_steps - done)
+            else:
+                self.state = self._jit_run(self.state, self._step_fn, n_steps)
         self.state.block_until_ready()
         self.wall_seconds += _time.perf_counter() - t0
         return self.state
+
+    def _track_ids(self, ids) -> None:
+        """Compose a device run's body permutation into sort_perm."""
+        import numpy as _np
+
+        ids = _np.asarray(ids)[: self.state.n_real]
+        if self.sort_perm is None:
+            self.sort_perm = ids
+        else:
+            self.sort_perm = _np.asarray(self.sort_perm)[ids]
 
     def _resort(self) -> None:
         """Re-Morton-order bodies (spatial locality decays as bodies move).

@@ -61,3 +61,66 @@ def apply_permutation(state, perm: np.ndarray):
         step=state.step,
         n_real=state.n_real,
     )
+
+
+# ------------------------------------------------------------ device-side
+def _spread_bits_10_jnp(v):
+    """Interleave 10-bit integers with two zero bits (int32, on device)."""
+    import jax.numpy as jnp
+
+    x = v.astype(jnp.int32)
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_keys_device(pos, n_real):
+    """(N,) int32 Z-order keys, jittable (10 bits/dim = 30-bit codes —
+    plenty to order tiles; the host path keeps 21-bit precision).
+
+    Padding bodies (slots >= n_real) get the maximal key so a stable sort
+    keeps them at the end — the layout invariant every kernel relies on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pos = pos.astype(jnp.float32)
+    n = pos.shape[0]
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+            < n_real)
+    lo = jnp.min(jnp.where(mask[:, None], pos, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], pos, -jnp.inf), axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    scale = 1023.0 / span
+    q = jnp.clip((pos - lo[None, :]) * scale[None, :], 0.0, 1023.0
+                 ).astype(jnp.int32)
+    key = (_spread_bits_10_jnp(q[:, 0])
+           | (_spread_bits_10_jnp(q[:, 1]) << 1)
+           | (_spread_bits_10_jnp(q[:, 2]) << 2))
+    return jnp.where(mask, key, jnp.int32(0x7FFFFFFF))
+
+
+def device_resort(state, ids):
+    """Z-order a SimState on device (jittable; used inside scanned runs).
+
+    ``ids`` tracks body identity across permutations (``ids[i]`` = the
+    input slot of the body now at slot i). Padding stays at the end.
+    """
+    import jax.numpy as jnp
+
+    from n_body_problem_tpu.state import SimState
+
+    key = morton_keys_device(state.pos, state.n_real)
+    perm = jnp.argsort(key, stable=True)
+    return SimState(
+        pos=state.pos[perm],
+        vel=state.vel[perm],
+        mass=state.mass[perm],
+        eps=state.eps[perm],
+        acc=state.acc[perm],
+        time=state.time,
+        step=state.step,
+        n_real=state.n_real,
+    ), ids[perm]

@@ -107,3 +107,29 @@ def test_plain_softening_mode():
     acc = direct_acc(pos, mass, eps2=1e-6, compensate=1.0)
     expect = 0.5 / (0.25 + 1e-6) ** 1.5
     np.testing.assert_allclose(float(acc[0, 0]), expect, rtol=1e-5)
+
+
+def test_pair_matrix_foil_matches_direct():
+    """Dev-history Method A (project_develop_code.cu:657-861): the
+    materialized half-pair force matrix reproduces the direct sum —
+    including force->acceleration division and massless padding."""
+    from n_body_problem_tpu import models, pad_state
+    from n_body_problem_tpu.ops.pair_matrix import pair_matrix_acc
+
+    state = pad_state(models.plummer(300, seed=21), multiple=64)
+    want = direct_acc(state.pos, state.mass, eps2=1e-6)
+    got = pair_matrix_acc(state.pos, state.mass, eps2=1e-6)
+    # Padding rows are massless: Method A divides force by mass, so they
+    # are zero by construction (the direct path also gives ~0 there).
+    np.testing.assert_allclose(np.asarray(got[:300]), np.asarray(want[:300]),
+                               rtol=2e-4, atol=2e-6)
+    assert np.all(np.asarray(got[300:]) == 0.0)
+
+
+def test_pair_matrix_refuses_large_n():
+    import pytest as _pytest
+
+    from n_body_problem_tpu.ops.pair_matrix import pair_matrix_acc
+
+    with _pytest.raises(ValueError):
+        pair_matrix_acc(jnp.zeros((40000, 3)), jnp.ones(40000), eps2=1e-6)

@@ -171,3 +171,22 @@ def test_rejects_bad_shapes_and_theta():
         treecode_acc(state.pos[:100], state.mass[:100], eps2=EPS2, tile=32)
     with pytest.raises(ValueError):
         treecode_acc(state.pos, state.mass, eps2=EPS2, tile=32, theta=1.5)
+
+
+def test_long_run_stability_with_device_resort():
+    """Round-2 regression: without periodic re-sorting, Morton locality
+    decays, near counts blow past the static capacity, and the leaked
+    multipole errors explode the core (measured dE/E ~ 1e3 at 10k steps).
+    The fused device resort + rebuild must keep a few hundred steps of a
+    live Plummer core drift-bounded."""
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8, dt=0.008)
+    sim = Simulation(cfg, models.plummer(2048, seed=31))
+    e0 = sim.diagnostics()["energy"]
+    sim.run(200)
+    d = sim.diagnostics()
+    drift = abs((d["energy"] - e0) / e0)
+    assert drift < 0.01, f"treecode run drifted dE/E = {drift:.2e}"
+    assert d["overspeed"] == 0
+    # identity tracking survived the device permutations
+    assert sim.sort_perm is not None
+    assert sorted(sim.sort_perm.tolist()) == list(range(2048))

@@ -75,8 +75,8 @@ def run_convergence(args) -> None:
             e0 = sim.diagnostics()["energy"]
             max_drift = 0.0
             steps = int(round(t_phys / dt))
-            for _ in range(4):  # sample the oscillation, not one endpoint
-                sim.run(max(steps // 4, 1))
+            for _ in range(16):  # sample the oscillation, not one endpoint
+                sim.run(max(steps // 16, 1))
                 drift = abs((sim.diagnostics()["energy"] - e0) / e0)
                 max_drift = max(max_drift, drift)
             drifts.append(max_drift)
