@@ -69,6 +69,9 @@ class SimConfig:
                                   # cadence inside Simulation.run (near
                                   # counts grow ~12% over 8 steps; the
                                   # suggest_max_near margin covers it)
+    tree_near_slack: int = 96  # extra exact tiles per target (flat path)
+    tree_flat_cap: int = 0     # compacted work-list capacity; 0 = auto on
+                               # TPU (mean-bound near cost), -1 = disable
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps

@@ -194,16 +194,21 @@ def _vip_split(pos, mass, tile: int, vip_tiles: int):
 
 
 # -------------------------------------------------------------- acceptance
+def _opening_ratio(pos, com, radius, tile: int):
+    """(K, K) opening ratios radius_j / min-body-distance, self = inf."""
+    k = com.shape[0]
+    min_d = _min_tile_dist(pos, com, tile)                      # (K, K)
+    ratio = radius[None, :] / jnp.maximum(min_d, _TINY)
+    return jnp.where(jnp.eye(k, dtype=bool), jnp.inf, ratio)
+
+
 def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int):
     """Near lists from the per-body-union opening criterion.
 
     Returns (near_idx (K, M) int32, near_mask (K, K) bool).
     """
     k = com.shape[0]
-    min_d = _min_tile_dist(pos, com, tile)                      # (K, K)
-    ratio = radius[None, :] / jnp.maximum(min_d, _TINY)
-    eye = jnp.eye(k, dtype=bool)
-    ratio = jnp.where(eye, jnp.inf, ratio)                      # self first
+    ratio = _opening_ratio(pos, com, radius, tile)
     _, near_idx = lax.top_k(ratio, max_near)                    # (K, M)
     near_mask = jnp.any(
         near_idx[:, :, None] == jnp.arange(k)[None, None, :], axis=1
@@ -270,19 +275,18 @@ def suggest_max_near(
 # --------------------------------------------------------------- far field
 def _far_kernel(rows_ref,       # (T, 4) target tile [x y z _]
                 summ_ref,       # (16, K) resident tile summaries
-                mask_ref,       # (1, K) this target tile's near mask (f32)
+                mask_ref,       # (1, 1, K) this target tile's near mask (f32)
                 out_ref,        # (T, 8)
-                acc_x, acc_y, acc_z,   # (T, CK) deferred accumulators
                 *, c2, eps2, gc, ck):
     """Monopole+quadrupole far field, one target tile per grid row.
 
     Summary panel rows: 0..2 com, 3 m_tot, 4..9 quad [xx yy zz xy xz yz],
     10 tr(S). ~40 VPU ops per (body, tile) interaction; the near-mask
     multiplies weights to zero (masked tiles are handled exactly by the
-    near field / VIP sweep).
+    near field / VIP sweep). Per-chunk register reductions straight into
+    the (T, 8) output (same rationale as _near_kernel).
     """
     c = pl.program_id(1)
-    nc = pl.num_programs(1)
     t = rows_ref.shape[0]
     co = pl.multiple_of(c * ck, ck)
 
@@ -311,29 +315,23 @@ def _far_kernel(rows_ref,       # (T, 4) target tile [x y z _]
           + 7.5 * c6 * q * u7) * live
     ws = (-3.0 * c4 * u5) * live
 
+    upd = jnp.concatenate(
+        [
+            jnp.sum(wd * dx + ws * sdx, axis=1, keepdims=True),
+            jnp.sum(wd * dy + ws * sdy, axis=1, keepdims=True),
+            jnp.sum(wd * dz + ws * sdz, axis=1, keepdims=True),
+            jnp.zeros((t, 5), out_ref.dtype),
+        ],
+        axis=1,
+    ) * gc
+
     @pl.when(c == 0)
     def _():
-        acc_x[...] = wd * dx + ws * sdx
-        acc_y[...] = wd * dy + ws * sdy
-        acc_z[...] = wd * dz + ws * sdz
+        out_ref[...] = upd
 
     @pl.when(c > 0)
     def _():
-        acc_x[...] += wd * dx + ws * sdx
-        acc_y[...] += wd * dy + ws * sdy
-        acc_z[...] += wd * dz + ws * sdz
-
-    @pl.when(c == nc - 1)
-    def _():
-        out_ref[...] = gc * jnp.concatenate(
-            [
-                jnp.sum(acc_x[...], axis=1, keepdims=True),
-                jnp.sum(acc_y[...], axis=1, keepdims=True),
-                jnp.sum(acc_z[...], axis=1, keepdims=True),
-                jnp.zeros((t, 5), out_ref.dtype),
-            ],
-            axis=1,
-        )
+        out_ref[...] += upd
 
 
 def _far_field_pallas(pos, com, m_tot, quad, near_mask, *,
@@ -366,7 +364,6 @@ def _far_field_pallas(pos, com, m_tot, quad, near_mask, *,
         out_specs=pl.BlockSpec((tile, 8), lambda i, c: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8), f32),
-        scratch_shapes=[pltpu.VMEM((tile, ck), f32)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=40 * n * k,
             bytes_accessed=(n * 4 + 16 * k + (n // tile) * k + n * 8) * 4,
@@ -470,9 +467,11 @@ def _gather_panels_pallas(pos, scaled_mass, near_idx, tile: int,
     def make_map(s):
         return lambda p, nr: (nr[p * group + s], 0, 0)
 
-    # The prefetched near list lives in SMEM (1 MiB): segment the gather
-    # over target-row blocks so each call's index slice fits comfortably.
-    seg_rows = max(1, min(k, 65536 // m_near))
+    # The prefetched near list lives in SMEM (1 MiB = 256k int32): segment
+    # the gather over target-row blocks so each call's slice fits with
+    # headroom. Keep segments large — each one is a separate pallas launch
+    # (measured: 128 launches at N=262k cost ~15 ms of pure overhead).
+    seg_rows = max(1, min(k, 160_000 // m_near))
     while k % seg_rows:
         seg_rows -= 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -813,6 +812,304 @@ def build_tree(
     com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
     near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
     return near_idx, near_mask, is_vip_body
+
+
+# ------------------------------------------------- compacted (flat) lists
+# The static per-target capacity is max-bound (every target pays for the
+# worst target's near count: measured mean 227 / max 414 of 2048 tiles at
+# N=65k). The flat path compacts the lists into one work array so cost is
+# MEAN-bound: entries grouped in 64-entry chunks, each chunk tagged with
+# its target tile; the near kernel streams chunks and re-initializes its
+# output block whenever the tag changes (output revisiting).
+FLAT_CHUNK = 64          # near-list entries per work chunk (= 2048 lanes)
+DEFAULT_NEAR_SLACK = 96  # extra closest-far tiles computed exactly per
+                         # target (accuracy headroom, like the margin)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "theta", "max_near", "vip_tiles", "slack",
+                     "flat_cap"),
+)
+def build_tree_flat(
+    pos: jax.Array,
+    mass: jax.Array,
+    *,
+    tile: int = DEFAULT_TILE,
+    theta: float = DEFAULT_THETA,
+    max_near: int = DEFAULT_MAX_NEAR,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+    slack: int = DEFAULT_NEAR_SLACK,
+    flat_cap: int,
+):
+    """Compacted acceptance structures.
+
+    Returns (flat_tiles (flat_cap,), chunk_tgt (flat_cap/64,), near_mask,
+    is_vip_body). Row i occupies v_i = round_up(open_count_i + slack, 64)
+    slots (clamped to max_near); overflow past ``flat_cap`` drops the
+    tail rows' entries to the dump slot — size ``flat_cap`` with margin
+    via :func:`suggest_flat_cap`.
+    """
+    n = pos.shape[0]
+    k, max_near, vip_tiles = _static_args(n, tile, theta, max_near, vip_tiles)
+    if k < FLAT_CHUNK:
+        raise ValueError(f"flat path needs K >= {FLAT_CHUNK}; use treecode_acc")
+    max_near = max(-(-max_near // FLAT_CHUNK) * FLAT_CHUNK, FLAT_CHUNK)
+    max_near = min(max_near, k - (k % FLAT_CHUNK) or k)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    if vip_tiles:
+        mass_tree, _, is_vip_body = _vip_split(pos, mass, tile, vip_tiles)
+    else:
+        is_vip_body = jnp.zeros((n,), bool)
+        mass_tree = mass
+    com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
+    ratio = _opening_ratio(pos, com, radius, tile)              # (K, K)
+    _, near_idx = lax.top_k(ratio, max_near)                    # (K, M)
+    near_idx = near_idx.astype(i32)
+    cnt = jnp.sum(ratio > theta, axis=1).astype(i32)            # (K,)
+    v = jnp.clip(
+        ((cnt + slack + FLAT_CHUNK - 1) // FLAT_CHUNK) * FLAT_CHUNK,
+        FLAT_CHUNK, max_near,
+    )                                                           # (K,)
+    offs = jnp.concatenate([jnp.zeros((1,), i32),
+                            jnp.cumsum(v, dtype=i32)])[:k]      # (K,)
+
+    s_idx = jax.lax.broadcasted_iota(i32, (k, max_near), 1)
+    valid = s_idx < v[:, None]
+    dest = jnp.where(valid, offs[:, None] + s_idx, flat_cap)
+    flat_tiles = (
+        jnp.full((flat_cap + 1,), k, i32)                       # sentinel
+        .at[dest.reshape(-1)].set(near_idx.reshape(-1), mode="drop")
+    )[:flat_cap]
+
+    n_chunks = flat_cap // FLAT_CHUNK
+    cpr = max_near // FLAT_CHUNK                                # chunks/row
+    c_idx = jax.lax.broadcasted_iota(i32, (k, cpr), 1)
+    cvalid = c_idx < (v // FLAT_CHUNK)[:, None]
+    cdest = jnp.where(cvalid, offs[:, None] // FLAT_CHUNK + c_idx, n_chunks)
+    rows = jax.lax.broadcasted_iota(i32, (k, cpr), 0)
+    chunk_tgt = (
+        jnp.full((n_chunks + 1,), k, i32)                       # dummy target
+        .at[cdest.reshape(-1)].set(rows.reshape(-1), mode="drop")
+    )[:n_chunks]
+
+    row_ids = jax.lax.broadcasted_iota(i32, (k, max_near), 0)
+    near_mask = (
+        jnp.zeros((k, k), bool)
+        .at[row_ids.reshape(-1), near_idx.reshape(-1)]
+        .max(valid.reshape(-1))
+    )
+    return flat_tiles, chunk_tgt, near_mask, is_vip_body
+
+
+def suggest_flat_cap(pos, mass, *, tile: int = DEFAULT_TILE,
+                     theta: float = DEFAULT_THETA,
+                     vip_tiles: int = DEFAULT_VIP_TILES,
+                     slack: int = DEFAULT_NEAR_SLACK,
+                     margin: float = 1.25) -> int:
+    """Static flat-list capacity for this distribution (host-side)."""
+    counts = np.asarray(open_counts(
+        jnp.asarray(pos), jnp.asarray(mass),
+        tile=tile, theta=theta, vip_tiles=vip_tiles,
+    ))
+    v = np.maximum(
+        ((counts + slack + FLAT_CHUNK - 1) // FLAT_CHUNK) * FLAT_CHUNK,
+        FLAT_CHUNK,
+    )
+    need = int(math.ceil(float(v.sum()) * margin))
+    return ((need + FLAT_CHUNK - 1) // FLAT_CHUNK) * FLAT_CHUNK
+
+
+def _gather_flat_pallas(pos, scaled_mass, flat_tiles, tile: int,
+                        interpret: bool):
+    """(4, flat_cap * tile) compacted panels via the copy kernel.
+
+    Identical to :func:`_gather_panels_pallas` but over the flat list;
+    the tiles array grows a zero sentinel row (index K) so dump/tail
+    entries contribute nothing.
+    """
+    n = pos.shape[0]
+    k_src = n // tile
+    flat_cap = flat_tiles.shape[0]
+    group = FLAT_CHUNK // 2                                    # 32 DMAs/step
+    f32 = jnp.float32
+    tiles = jnp.stack(
+        [pos[:, 0].reshape(k_src, tile), pos[:, 1].reshape(k_src, tile),
+         pos[:, 2].reshape(k_src, tile), scaled_mass.reshape(k_src, tile)],
+        axis=1,
+    )                                                           # (K, 4, T)
+    tiles = jnp.concatenate(
+        [tiles, jnp.zeros((1, 4, tile), f32)], axis=0
+    )                                                           # + sentinel
+
+    def make_map(s):
+        return lambda p, nr: (nr[p * group + s], 0, 0)
+
+    seg = max(group, min(flat_cap, 160_000))
+    seg -= seg % group
+    while flat_cap % seg:
+        seg -= group
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(seg // group,),
+        in_specs=[pl.BlockSpec((1, 4, tile), make_map(s))
+                  for s in range(group)],
+        out_specs=pl.BlockSpec((4, group * tile), lambda p, nr: (0, p)),
+    )
+    call = pl.pallas_call(
+        functools.partial(_gather_kernel, group=group, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, seg * tile), f32),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=8 * seg * tile * 4, transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    outs = [call(flat_tiles[o:o + seg], *([tiles] * group))
+            for o in range(0, flat_cap, seg)]
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _near_flat_kernel(ctgt_ref, rows_ref, pan_ref, out_ref,
+                      *, c2, eps2, tile):
+    """Flat near kernel: one 64-entry chunk per grid step, output block
+    selected (and re-initialized) by the chunk's target tag."""
+    p = pl.program_id(0)
+    prev = ctgt_ref[jnp.maximum(p - 1, 0)]
+    first = jnp.logical_or(p == 0, ctgt_ref[p] != prev)
+
+    xi = rows_ref[:, 0:1]
+    yi = rows_ref[:, 1:2]
+    zi = rows_ref[:, 2:3]
+    dx = pan_ref[0:1, :] - xi
+    dy = pan_ref[1:2, :] - yi
+    dz = pan_ref[2:3, :] - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    inv = lax.rsqrt(r2 * c2 + eps2)
+    w = pan_ref[3:4, :] * (inv * inv * inv)
+
+    upd = jnp.concatenate(
+        [
+            jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True),
+            jnp.zeros((tile, 5), out_ref.dtype),
+        ],
+        axis=1,
+    )
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = upd
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[...] += upd
+
+
+def _near_field_flat(pos, panels, chunk_tgt, *, eps2: float, c2: float,
+                     tile: int, interpret: bool):
+    n = pos.shape[0]
+    k = n // tile
+    f32 = jnp.float32
+    n_chunks = chunk_tgt.shape[0]
+    ctile = FLAT_CHUNK * tile
+    rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)
+    rows = jnp.concatenate([rows, jnp.zeros((tile, 4), f32)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda p, ct: (ct[p], 0)),
+            pl.BlockSpec((4, ctile), lambda p, ct: (0, p)),
+        ],
+        out_specs=pl.BlockSpec((tile, 8), lambda p, ct: (ct[p], 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_near_flat_kernel, c2=float(c2), eps2=float(eps2),
+                          tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(((k + 1) * tile, 8), f32),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * n_chunks * tile * ctile,
+            bytes_accessed=(n * 4 + 4 * n_chunks * ctile) * 4,
+            transcendentals=n_chunks * tile * ctile,
+        ),
+        interpret=interpret,
+    )(chunk_tgt, rows, panels)
+    return out[:n, :3]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eps2", "compensate", "G", "tile", "theta", "max_near", "vip_tiles",
+        "interpret",
+    ),
+)
+def treecode_acc_flat(
+    pos: jax.Array,
+    mass: jax.Array,
+    aux_flat,
+    *,
+    eps2: float,
+    compensate: float = 0.1,
+    G: float = 1.0,
+    tile: int = DEFAULT_TILE,
+    theta: float = DEFAULT_THETA,
+    max_near: int = DEFAULT_MAX_NEAR,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Approximate acc (N, 3) with compacted near lists (TPU path).
+
+    ``aux_flat`` must come from :func:`build_tree_flat` with the same
+    static knobs. Physics identical to :func:`treecode_acc`; cost is
+    mean-bound instead of max-bound (~0.7x near work on a Plummer sphere).
+    """
+    n = pos.shape[0]
+    k, max_near, vip_tiles = _static_args(n, tile, theta, max_near, vip_tiles)
+    c2 = compensate * compensate
+    gc3 = G * c2 * compensate
+    f32 = jnp.float32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    flat_tiles, chunk_tgt, near_mask, is_vip_body = aux_flat
+    if vip_tiles:
+        vip_tile_idx = jnp.nonzero(
+            is_vip_body.reshape(k, tile)[:, 0], size=vip_tiles, fill_value=0
+        )[0]
+        vip_body_idx = (vip_tile_idx[:, None] * tile
+                        + jnp.arange(tile, dtype=jnp.int32)[None, :]
+                        ).reshape(-1)
+        mass_tree = jnp.where(is_vip_body, 0.0, mass)
+    else:
+        mass_tree = mass
+
+    com, m_tot, _, quad = tile_summaries(pos, mass_tree, tile)
+    panels = _gather_flat_pallas(pos, mass_tree * f32(gc3), flat_tiles,
+                                 tile, interpret)
+    acc = _near_field_flat(pos, panels, chunk_tgt, eps2=eps2, c2=c2,
+                           tile=tile, interpret=interpret)
+    acc = acc + _far_field_pallas(pos, com, m_tot, quad, near_mask,
+                                  eps2=eps2, c2=c2, G=G, tile=tile,
+                                  interpret=interpret)
+    if vip_tiles:
+        scaled_all = mass * f32(gc3)
+        action, acc_vip = _vip_both_pallas(
+            pos, scaled_all, vip_body_idx, eps2=eps2, c2=c2,
+            interpret=interpret,
+        )
+        acc = acc + action
+        acc = acc.at[vip_body_idx].set(acc_vip)
+    return acc
 
 
 @functools.partial(

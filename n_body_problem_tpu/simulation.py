@@ -57,18 +57,30 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
     Returns ``(state, step_fn_ignored, n_steps) -> (state, ids)`` where
     ``ids[i]`` is the input slot of the body now at slot i.
     """
-    from n_body_problem_tpu.ops.treecode import build_tree, treecode_acc
+    from n_body_problem_tpu.ops.treecode import (
+        build_tree,
+        build_tree_flat,
+        treecode_acc,
+        treecode_acc_flat,
+    )
     from n_body_problem_tpu.utils.morton import device_resort
 
     r = cfg.tree_rebuild_every
     sel = dict(tile=cfg.tree_tile, theta=cfg.tree_theta,
                max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
+    flat_cap = cfg.tree_flat_cap
 
     def chunk(state: SimState, ids: jax.Array, length: int):
         state, ids = device_resort(state, ids)
-        aux = build_tree(state.pos, state.mass, **sel)
-        force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
+        if flat_cap > 0:
+            aux = build_tree_flat(state.pos, state.mass,
+                                  slack=cfg.tree_near_slack,
+                                  flat_cap=flat_cap, **sel)
+            force = lambda pos, mass: treecode_acc_flat(pos, mass, aux, **kw)
+        else:
+            aux = build_tree(state.pos, state.mass, **sel)
+            force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
         step = make_integrator(cfg.integrator, force, cfg.dt)
         return run_steps(state, step, length), ids
 
@@ -178,16 +190,32 @@ class Simulation:
         )
         if state.n < need:
             state = pad_state_to(state, need)
-        if solver == "treecode" and cfg.tree_max_near == 0:
-            # Auto-tune the static near-list capacity on the (sorted,
-            # padded) initial distribution; margin absorbs drift between
-            # re-sorts. A static shape, so it must be fixed pre-trace.
-            from n_body_problem_tpu.ops.treecode import suggest_max_near
+        if solver == "treecode":
+            # Auto-tune the static capacities on the (sorted, padded)
+            # initial distribution; margins absorb drift between re-sorts.
+            # Static shapes, so they must be fixed pre-trace.
+            from n_body_problem_tpu.ops.treecode import (
+                FLAT_CHUNK,
+                suggest_flat_cap,
+                suggest_max_near,
+            )
 
-            cfg = cfg.replace(tree_max_near=suggest_max_near(
-                state.pos, state.mass, tile=cfg.tree_tile,
-                theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
-            ))
+            if cfg.tree_max_near == 0:
+                cfg = cfg.replace(tree_max_near=suggest_max_near(
+                    state.pos, state.mass, tile=cfg.tree_tile,
+                    theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                ))
+            use_flat = (
+                cfg.tree_flat_cap == 0
+                and (backend or jax.default_backend()) == "tpu"
+                and state.n // cfg.tree_tile >= FLAT_CHUNK
+            )
+            if use_flat:
+                cfg = cfg.replace(tree_flat_cap=suggest_flat_cap(
+                    state.pos, state.mass, tile=cfg.tree_tile,
+                    theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                    slack=cfg.tree_near_slack,
+                ))
             self.cfg = cfg
         if cfg.integrator == "leapfrog":
             state = jax.jit(functools.partial(

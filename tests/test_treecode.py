@@ -190,3 +190,27 @@ def test_long_run_stability_with_device_resort():
     # identity tracking survived the device permutations
     assert sim.sort_perm is not None
     assert sorted(sim.sort_perm.tolist()) == list(range(2048))
+
+
+def test_flat_path_matches_dense_path():
+    """The compacted (mean-bound) near path computes the same physics as
+    the per-target static lists — near sets may differ only in the spare
+    slots (extra exact tiles), so agreement must hold to the approximation
+    envelope, and the flat near field must cover at least the open set."""
+    from n_body_problem_tpu.ops.treecode import (
+        build_tree_flat,
+        suggest_flat_cap,
+        treecode_acc_flat,
+    )
+
+    state = _sorted_plummer(4096, seed=41)
+    kw = dict(tile=32, theta=0.5, max_near=128, vip_tiles=16)
+    cap = suggest_flat_cap(state.pos, state.mass, tile=32, theta=0.5,
+                           vip_tiles=16, slack=32)
+    aux = build_tree_flat(state.pos, state.mass, slack=32, flat_cap=cap, **kw)
+    got = treecode_acc_flat(state.pos, state.mass, aux, eps2=EPS2,
+                            interpret=True, **kw)
+    want = direct_acc(state.pos, state.mass, eps2=EPS2)
+    err = _rel_err(got, want)
+    assert np.median(err) < 5e-4, f"median {np.median(err):.2e}"
+    assert np.percentile(err, 99) < 2e-3, f"p99 {np.percentile(err, 99):.2e}"
