@@ -302,8 +302,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Z-order bodies at init (tile locality)")
     r.add_argument("--devices", type=int, default=1,
                    help="shard bodies over a ring mesh of this many devices")
-    r.add_argument("--strategy", default="ring", choices=["ring", "half_ring"],
-                   help="distributed force strategy (with --devices > 1)")
+    r.add_argument("--strategy", default="ring",
+                   choices=["ring", "half_ring", "treecode"],
+                   help="distributed force strategy (with --devices > 1): "
+                        "exact ppermute ring, Newton's-3rd-law half ring, "
+                        "or the sharded Barnes-Hut treecode")
     r.set_defaults(fn=cmd_run)
 
     i = sub.add_parser("info", help="environment, datasets, solvers")

@@ -194,25 +194,33 @@ def _vip_split(pos, mass, tile: int, vip_tiles: int):
 
 
 # -------------------------------------------------------------- acceptance
-def _opening_ratio(pos, com, radius, tile: int):
-    """(K, K) opening ratios radius_j / min-body-distance, self = inf."""
-    k = com.shape[0]
-    min_d = _min_tile_dist(pos, com, tile)                      # (K, K)
+def _opening_ratio(pos, com, radius, tile: int, row_offset=0):
+    """(K_t, K_s) opening ratios radius_j / min-body-distance, self = inf.
+
+    ``row_offset`` maps local target-tile rows to global source columns
+    (the multi-chip path computes rows for its own contiguous tile range).
+    """
+    k_t = pos.shape[0] // tile
+    k_s = com.shape[0]
+    min_d = _min_tile_dist(pos, com, tile)                      # (K_t, K_s)
     ratio = radius[None, :] / jnp.maximum(min_d, _TINY)
-    return jnp.where(jnp.eye(k, dtype=bool), jnp.inf, ratio)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 0) + row_offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 1)
+    return jnp.where(rows == cols, jnp.inf, ratio)
 
 
-def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int):
+def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int,
+                row_offset=0):
     """Near lists from the per-body-union opening criterion.
 
-    Returns (near_idx (K, M) int32, near_mask (K, K) bool).
+    Returns (near_idx (K_t, M) int32, near_mask (K_t, K_s) bool).
     """
-    k = com.shape[0]
-    ratio = _opening_ratio(pos, com, radius, tile)
-    _, near_idx = lax.top_k(ratio, max_near)                    # (K, M)
+    k_s = com.shape[0]
+    ratio = _opening_ratio(pos, com, radius, tile, row_offset)
+    _, near_idx = lax.top_k(ratio, max_near)                    # (K_t, M)
     near_mask = jnp.any(
-        near_idx[:, :, None] == jnp.arange(k)[None, None, :], axis=1
-    )                                                           # (K, K)
+        near_idx[:, :, None] == jnp.arange(k_s)[None, None, :], axis=1
+    )                                                           # (K_t, K_s)
     return near_idx.astype(jnp.int32), near_mask
 
 
@@ -686,12 +694,16 @@ def _vip_kernel(xi_ref, yi_ref, zi_ref, mi_ref,   # (TI, 1) all-body rows
     react_ref[:, pl.ds(co, tile_j)] += rupd
 
 
-def _vip_both_pallas(pos, scaled_mass_all, vip_body_idx, *,
+def _vip_both_pallas(pos, scaled_mass_all, vip_pos, vip_scaled_mass, *,
                      eps2: float, c2: float, interpret: bool):
-    """(action (N,3) of VIPs on every body, reaction (W,3) = VIP rows'
-    complete accelerations) in ONE rectangular Pallas sweep."""
+    """(action (N,3) of the VIP panel on every row body, reaction (W,3) =
+    the rows' pull on each VIP) in ONE rectangular Pallas sweep.
+
+    Rows and panel are decoupled so the multi-chip path can sweep LOCAL
+    rows against the GLOBAL panel (reactions then psum to completeness).
+    """
     n = pos.shape[0]
-    w_cnt = vip_body_idx.shape[0]
+    w_cnt = vip_pos.shape[0]
     f32 = jnp.float32
     tile_i = _chunk_size(n, 256)
     tile_j = _chunk_size(w_cnt, 1024)
@@ -699,10 +711,10 @@ def _vip_both_pallas(pos, scaled_mass_all, vip_body_idx, *,
     yi = pos[:, 1:2]
     zi = pos[:, 2:3]
     mi = scaled_mass_all.reshape(n, 1)
-    xj = pos[vip_body_idx, 0].reshape(1, w_cnt)
-    yj = pos[vip_body_idx, 1].reshape(1, w_cnt)
-    zj = pos[vip_body_idx, 2].reshape(1, w_cnt)
-    mj = scaled_mass_all[vip_body_idx].reshape(1, w_cnt)
+    xj = vip_pos[:, 0].reshape(1, w_cnt)
+    yj = vip_pos[:, 1].reshape(1, w_cnt)
+    zj = vip_pos[:, 2].reshape(1, w_cnt)
+    mj = vip_scaled_mass.reshape(1, w_cnt)
 
     col = lambda: pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -1104,8 +1116,8 @@ def treecode_acc_flat(
     if vip_tiles:
         scaled_all = mass * f32(gc3)
         action, acc_vip = _vip_both_pallas(
-            pos, scaled_all, vip_body_idx, eps2=eps2, c2=c2,
-            interpret=interpret,
+            pos, scaled_all, pos[vip_body_idx], scaled_all[vip_body_idx],
+            eps2=eps2, c2=c2, interpret=interpret,
         )
         acc = acc + action
         acc = acc.at[vip_body_idx].set(acc_vip)
@@ -1190,8 +1202,8 @@ def treecode_acc(
             # One rectangular sweep yields both directions (Newton's 3rd
             # law): action of VIPs on every body + VIP rows' complete acc.
             action, acc_vip = _vip_both_pallas(
-                pos, scaled_all, vip_body_idx, eps2=eps2, c2=c2,
-                interpret=interpret,
+                pos, scaled_all, pos[vip_body_idx], scaled_all[vip_body_idx],
+                eps2=eps2, c2=c2, interpret=interpret,
             )
             acc = acc + action
         else:

@@ -6,6 +6,10 @@ from n_body_problem_tpu.parallel.ring import (
     shard_state,
 )
 from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+from n_body_problem_tpu.parallel.tree import (
+    make_sharded_treecode_force,
+    make_sharded_treecode_run,
+)
 
 __all__ = [
     "make_ring_mesh",
@@ -14,4 +18,6 @@ __all__ = [
     "make_sharded_step",
     "shard_state",
     "ShardedSimulation",
+    "make_sharded_treecode_force",
+    "make_sharded_treecode_run",
 ]

@@ -17,6 +17,7 @@ from __future__ import annotations
 import time as _time
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 
 from n_body_problem_tpu.config import SimConfig
@@ -40,6 +41,9 @@ class ShardedSimulation:
         self.mesh = mesh if mesh is not None else make_ring_mesh()
         self.strategy = strategy
         n_dev = self.mesh.devices.size
+        if strategy == "treecode":
+            self._init_treecode(cfg, state, axis_name)
+            return
         if cfg.morton_sort:
             import numpy as _np
 
@@ -91,9 +95,69 @@ class ShardedSimulation:
         self._step = jax.jit(step, donate_argnums=donate)
         self.wall_seconds = 0.0
 
+    def _init_treecode(self, cfg: SimConfig, state: SimState,
+                       axis_name: str) -> None:
+        """Distributed Barnes-Hut (parallel/tree.py): bodies globally
+        Morton-sorted, each chip owns a contiguous tile range; auto-tunes
+        the static near capacity exactly like the single-chip path."""
+        import math as _math
+
+        import numpy as _np
+
+        from n_body_problem_tpu.ops.treecode import suggest_max_near
+        from n_body_problem_tpu.parallel.tree import (
+            make_sharded_treecode_force,
+            make_sharded_treecode_run,
+        )
+        from n_body_problem_tpu.state import unpad_state
+        from n_body_problem_tpu.utils.morton import (
+            apply_permutation,
+            morton_argsort,
+        )
+
+        n_dev = self.mesh.devices.size
+        real = unpad_state(state) if state.n != state.n_real else state
+        init_perm = morton_argsort(_np.asarray(real.pos))
+        state = apply_permutation(real, init_perm)
+        state = pad_state(state, multiple=_math.lcm(n_dev * cfg.tree_tile, 256))
+        if cfg.tree_max_near == 0:
+            cfg = cfg.replace(tree_max_near=suggest_max_near(
+                state.pos, state.mass, tile=cfg.tree_tile,
+                theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+            ))
+        self.cfg = cfg
+        self.state = shard_state(state, self.mesh)
+        self.sort_perm = init_perm
+        if cfg.integrator == "leapfrog":
+            force = make_sharded_treecode_force(cfg, self.mesh, axis_name)
+            acc = jax.jit(force)(
+                self.state.pos, self.state.mass,
+                jnp.asarray(state.n_real, jnp.int32),
+            )
+            self.state = SimState(
+                pos=self.state.pos, vel=self.state.vel, mass=self.state.mass,
+                eps=self.state.eps, acc=acc, time=self.state.time,
+                step=self.state.step, n_real=self.state.n_real,
+            )
+        run = make_sharded_treecode_run(cfg, self.mesh, axis_name)
+        donate = (0,) if cfg.donate else ()
+        self._jit_tree_run = jax.jit(run, static_argnums=(1,),
+                                     donate_argnums=donate)
+        self._jit_run = None
+        self._step = None
+        self.wall_seconds = 0.0
+
     def run(self, n_steps: int) -> SimState:
         t0 = _time.perf_counter()
-        self.state = self._jit_run(self.state, n_steps)
+        if self.strategy == "treecode":
+            import numpy as _np
+
+            self.state, ids = self._jit_tree_run(self.state, n_steps)
+            ids = _np.asarray(ids)[: self.state.n_real]
+            self.sort_perm = (ids if self.sort_perm is None
+                              else _np.asarray(self.sort_perm)[ids])
+        else:
+            self.state = self._jit_run(self.state, n_steps)
         self.state.block_until_ready()
         self.wall_seconds += _time.perf_counter() - t0
         return self.state

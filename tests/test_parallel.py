@@ -192,3 +192,46 @@ def test_sharded_leapfrog_prime_matches_single_chip(mesh):
         np.testing.assert_allclose(np.asarray(ssim.state.pos),
                                    np.asarray(ref.state.pos),
                                    rtol=2e-5, atol=1e-5)
+
+
+def test_sharded_treecode_matches_single_chip(mesh):
+    """The distributed Barnes-Hut (replicated sources, sharded target
+    rows, global deterministic resort) must reproduce the single-chip
+    treecode run: same global sort, same per-tile acceptance, same
+    kernels — agreement to kernel rounding."""
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8,
+                    tree_rebuild_every=4, tree_flat_cap=-1)
+    n = 8192
+    ssim = ShardedSimulation(cfg, models.plummer(n, seed=43), mesh,
+                             strategy="treecode")
+    ssim.run(8)
+    ref = __import__("n_body_problem_tpu").Simulation(
+        cfg, models.plummer(n, seed=43))
+    ref.run(8)
+    # Bodies are permuted identically (same global sort); map both back
+    # to input order via their tracked permutations before comparing.
+    import numpy as np_
+
+    a = np_.asarray(ssim.state.pos[:n])
+    b = np_.asarray(ref.state.pos[:n])
+    inv_a = np_.empty(n, int); inv_a[ssim.sort_perm] = np_.arange(n)
+    inv_b = np_.empty(n, int); inv_b[ref.sort_perm] = np_.arange(n)
+    np_.testing.assert_allclose(a[inv_a], b[inv_b], rtol=5e-4, atol=5e-5)
+    d = ssim.diagnostics()
+    assert d["overspeed"] == 0 and np_.isfinite(d["energy"])
+
+
+def test_sharded_treecode_leapfrog_and_energy(mesh):
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+
+    cfg = SimConfig(solver="treecode", integrator="leapfrog",
+                    tree_vip_tiles=8, tree_rebuild_every=4, tree_flat_cap=-1)
+    ssim = ShardedSimulation(cfg, models.plummer(8192, seed=47), mesh,
+                             strategy="treecode")
+    e0 = ssim.diagnostics()["energy"]
+    ssim.run(20)
+    d = ssim.diagnostics()
+    assert abs((d["energy"] - e0) / e0) < 2e-3
+    assert d["overspeed"] == 0
