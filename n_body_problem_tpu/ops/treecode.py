@@ -354,10 +354,18 @@ def _far_field_pallas(pos, com, m_tot, quad, near_mask, *,
         [com.T, m_tot.reshape(1, k), quad.T, tr.reshape(1, k),
          jnp.zeros((5, k), f32)], axis=0,
     )                                                               # (16, K)
+    maskf = near_mask.astype(f32)
+    # Pad the tile axis to a 128-lane multiple (Mosaic crashes on odd
+    # lane counts like galaxy_20K's K=632); zero-mass pad lanes are inert.
+    k_pad = -(-k // 128) * 128
+    if k_pad != k:
+        summ = jnp.pad(summ, ((0, 0), (0, k_pad - k)))
+        maskf = jnp.pad(maskf, ((0, 0), (0, k_pad - k)))
+        k = k_pad
     # (K_t, 1, K): a (1, 1, K) block satisfies Mosaic's last-two-dims rule
     # (sublane dim equals the array dim).
-    maskf = near_mask.astype(f32).reshape(n // tile, 1, k)
-    ck = 128 * _chunk_size(k // 128, 8) if k % 128 == 0 else k
+    maskf = maskf.reshape(n // tile, 1, k)
+    ck = 128 * _chunk_size(k // 128, 8)
     out = pl.pallas_call(
         functools.partial(_far_kernel, c2=float(c2), eps2=float(eps2),
                           gc=float(G * math.sqrt(c2)), ck=ck),
