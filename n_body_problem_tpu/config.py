@@ -62,7 +62,7 @@ class SimConfig:
     # --- treecode solver (ops/treecode.py; requires Morton-sorted bodies,
     # Simulation auto-enables morton_sort for it) ---
     tree_tile: int = 32        # finest Morton tile (acceptance granularity)
-    tree_theta: float = 0.5    # Barnes-Hut opening angle
+    tree_theta: float = 0.55   # Barnes-Hut opening angle (p99 force err ~8e-4 measured)
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
     tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
     tree_rebuild_every: int = 8   # device re-sort + acceptance rebuild

@@ -49,11 +49,13 @@ Per force evaluation:
    field computes, not an unsoftened approximation. An isotropic
    quadrupole contributes exactly zero (validated in tests).
 
-Cost at N=65k / tile=32 / theta=0.5 / vip=128: near ~20%, VIP ~12.5% of
-N^2 pair work plus an O(N*K) far field — ~3x fewer effective pair
-evaluations, at dense-kernel throughput. Error: measured ~1e-4 median
-relative force error on a Morton-sorted Plummer sphere (envelope asserted
-in tests/test_treecode.py).
+Measured on one v5e (Plummer, theta=0.55, vip=128): N=262,144 at
+149 ms/step = 4.6e11 effective directed pairs/s = 1.78x the reference's
+derived 4090 baseline, with 7.8e-4 p99 / 7e-5 median relative force
+error probed in-run (envelopes asserted in tests/test_treecode.py).
+Compute splits mean-bound with the compacted work lists (see
+build_tree_flat); the O(N*K) far field and the cached O(K^2) acceptance
+are the residual bookkeeping.
 
 The reference has no tree — cited here as the perf target
 (``kernel.cu:73``), not as provenance.
@@ -72,7 +74,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 32
-DEFAULT_THETA = 0.5
+DEFAULT_THETA = 0.55
 DEFAULT_MAX_NEAR = 416     # fallback when suggest_max_near wasn't consulted
 DEFAULT_VIP_TILES = 128
 
