@@ -61,15 +61,22 @@ class SimConfig:
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
     # --- treecode solver (ops/treecode.py; requires Morton-sorted bodies,
     # Simulation auto-enables morton_sort for it) ---
-    tree_tile: int = 32        # finest Morton tile (acceptance granularity)
+    tree_tile: int = 32        # target-row Morton tile (output granularity)
+    tree_src_tile: int = 128   # SOURCE tile of the flat path (asymmetric
+                               # acceptance: bigger sources shrink the far
+                               # field + bookkeeping 4x, thicken near ~15%)
     tree_theta: float = 0.55   # Barnes-Hut opening angle (p99 force err ~8e-4 measured)
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
+                               # (in source tiles on the flat path)
     tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
+                               # (counted in tree_tile units; the flat path
+                               # keeps the same exact-body budget)
     tree_rebuild_every: int = 8   # device re-sort + acceptance rebuild
                                   # cadence inside Simulation.run (near
                                   # counts grow ~12% over 8 steps; the
                                   # suggest_max_near margin covers it)
-    tree_near_slack: int = 96  # extra exact tiles per target (flat path)
+    tree_near_slack: int = 8   # extra exact SOURCE tiles per target (flat
+                               # path headroom for inter-rebuild drift)
     tree_flat_cap: int = 0     # compacted work-list capacity; 0 = auto on
                                # TPU (mean-bound near cost), -1 = disable
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
@@ -104,6 +111,11 @@ class SimConfig:
             raise ValueError(f"tree_theta must be in (0, 1], got {self.tree_theta}")
         if self.tree_max_near < 0 or self.tree_vip_tiles < 0:
             raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
+        if self.tree_src_tile % self.tree_tile:
+            raise ValueError(
+                f"tree_src_tile ({self.tree_src_tile}) must be a multiple "
+                f"of tree_tile ({self.tree_tile})"
+            )
         if self.tree_rebuild_every < 1:
             raise ValueError("tree_rebuild_every must be >= 1")
 

@@ -216,6 +216,7 @@ def required_padding(
     tile_j: int = 1024,
     sym_tile: int = 512,
     tree_tile: int = 32,
+    tree_src_tile: int = 128,
 ) -> int:
     """Padded body count a solver needs for N bodies."""
     if solver in ("blocked", "mxu"):
@@ -226,6 +227,7 @@ def required_padding(
         return round_up(n, sym_tile)
     if solver == "treecode":
         # lcm with 256: the VIP dense sweeps run through pallas_block_acc
-        # whose row tiling wants a 256-multiple on TPU.
-        return round_up(n, math.lcm(tree_tile, 256))
+        # whose row tiling wants a 256-multiple on TPU; the flat path also
+        # needs whole source tiles.
+        return round_up(n, math.lcm(tree_tile, tree_src_tile, 256))
     return n

@@ -83,6 +83,21 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
         from n_body_problem_tpu.ops import treecode
 
         max_near = cfg.tree_max_near or treecode.DEFAULT_MAX_NEAR
+        if cfg.tree_flat_cap > 0:
+            # The flat (asymmetric, mean-bound) production path; builds
+            # its acceptance fresh per call — Simulation.run caches it
+            # across tree_rebuild_every steps instead.
+            sel = dict(tile=cfg.tree_tile, src_tile=cfg.tree_src_tile,
+                       theta=cfg.tree_theta, max_near=max_near,
+                       vip_tiles=cfg.tree_vip_tiles)
+
+            def flat_force(pos, mass):
+                aux = treecode.build_tree_flat(
+                    pos, mass, slack=cfg.tree_near_slack,
+                    flat_cap=cfg.tree_flat_cap, **sel)
+                return treecode.treecode_acc_flat(pos, mass, aux, **kw, **sel)
+
+            return flat_force
         return lambda pos, mass: treecode.treecode_acc(
             pos, mass, tile=cfg.tree_tile, theta=cfg.tree_theta,
             max_near=max_near, vip_tiles=cfg.tree_vip_tiles, **kw

@@ -196,19 +196,25 @@ def _vip_split(pos, mass, tile: int, vip_tiles: int):
 
 
 # -------------------------------------------------------------- acceptance
-def _opening_ratio(pos, com, radius, tile: int, row_offset=0):
+def _opening_ratio(pos, com, radius, tile: int, row_offset=0,
+                   src_tile: int | None = None):
     """(K_t, K_s) opening ratios radius_j / min-body-distance, self = inf.
 
     ``row_offset`` maps local target-tile rows to global source columns
     (the multi-chip path computes rows for its own contiguous tile range).
+    ``src_tile`` sets the SOURCE granularity (asymmetric acceptance: target
+    rows stay at ``tile`` bodies, sources span ``src_tile`` bodies); the
+    "self" source (forced near) is the one containing the target tile.
     """
+    src_tile = src_tile or tile
+    f = src_tile // tile
     k_t = pos.shape[0] // tile
     k_s = com.shape[0]
     min_d = _min_tile_dist(pos, com, tile)                      # (K_t, K_s)
     ratio = radius[None, :] / jnp.maximum(min_d, _TINY)
     rows = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 0) + row_offset
     cols = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 1)
-    return jnp.where(rows == cols, jnp.inf, ratio)
+    return jnp.where(rows // f == cols, jnp.inf, ratio)
 
 
 def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int,
@@ -226,32 +232,39 @@ def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int,
     return near_idx.astype(jnp.int32), near_mask
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "theta", "vip_tiles"))
+@functools.partial(jax.jit, static_argnames=("tile", "theta", "vip_tiles",
+                                              "src_tile"))
 def open_counts(pos, mass, *, tile: int = DEFAULT_TILE,
                 theta: float = DEFAULT_THETA,
-                vip_tiles: int = DEFAULT_VIP_TILES) -> jax.Array:
-    """Per-tile count of tiles failing the far test (self included), after
-    the VIP split. ``max_near`` must cover ``max(open_counts)`` for the
-    theta-criterion to hold exactly; :func:`suggest_max_near` adds margin.
+                vip_tiles: int = DEFAULT_VIP_TILES,
+                src_tile: int | None = None) -> jax.Array:
+    """Per-target-tile count of SOURCE tiles failing the far test (self
+    included), after the VIP split. ``max_near`` must cover
+    ``max(open_counts)`` for the theta-criterion to hold exactly;
+    :func:`suggest_max_near` adds margin. ``src_tile`` sets the source
+    granularity (defaults to ``tile``; the flat path uses a coarser one).
     """
     n = pos.shape[0]
-    k = n // tile
-    vip_tiles = _clamp_vip(vip_tiles, k)
+    src_tile = src_tile or tile
+    k_s = n // src_tile
+    vip_src = _clamp_vip(_vip_src_tiles(vip_tiles, tile, src_tile), k_s)
     mass_tree = mass
-    if vip_tiles:
-        mass_tree, _, _ = _vip_split(pos, mass, tile, vip_tiles)
-    com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
-    min_d = _min_tile_dist(pos, com, tile)
-    is_open = jnp.logical_or(
-        radius[None, :] / jnp.maximum(min_d, _TINY) > theta,
-        jnp.eye(k, dtype=bool),
-    )
-    return jnp.sum(is_open, axis=1)
+    if vip_src:
+        mass_tree, _, _ = _vip_split(pos, mass, src_tile, vip_src)
+    com, _, radius, _ = tile_summaries(pos, mass_tree, src_tile)
+    ratio = _opening_ratio(pos, com, radius, tile, src_tile=src_tile)
+    return jnp.sum(ratio > theta, axis=1)
 
 
 def _clamp_vip(vip_tiles: int, k: int) -> int:
     """VIP capacity must leave a tree behind (and stay 0 for tiny K)."""
     return int(min(vip_tiles, k // 4))
+
+
+def _vip_src_tiles(vip_tiles: int, tile: int, src_tile: int) -> int:
+    """Re-express the VIP capacity (configured in ``tile``-body tiles) at
+    the SOURCE granularity, preserving the exact-body budget."""
+    return max(int(vip_tiles * tile // src_tile), 1 if vip_tiles else 0)
 
 
 def suggest_max_near(
@@ -263,8 +276,10 @@ def suggest_max_near(
     vip_tiles: int = DEFAULT_VIP_TILES,
     margin: float = 1.2,
     multiple: int = 32,
+    src_tile: int | None = None,
 ) -> int:
-    """Static near-list capacity for this body distribution (host-side).
+    """Static near-list capacity (in SOURCE tiles) for this distribution
+    (host-side).
 
     ``margin`` absorbs near-count growth between Morton re-sorts —
     measured +12% over the default 8-step rebuild cadence at N=65k, so
@@ -274,9 +289,9 @@ def suggest_max_near(
     """
     counts = np.asarray(open_counts(
         jnp.asarray(pos), jnp.asarray(mass),
-        tile=tile, theta=theta, vip_tiles=vip_tiles,
+        tile=tile, theta=theta, vip_tiles=vip_tiles, src_tile=src_tile,
     ))
-    k = max(pos.shape[0] // tile, 1)
+    k = max(pos.shape[0] // (src_tile or tile), 1)
     need = int(math.ceil(float(counts.max()) * margin))
     need = ((need + multiple - 1) // multiple) * multiple
     return int(min(max(need, 1), k))
@@ -837,240 +852,294 @@ def build_tree(
 
 
 # ------------------------------------------------- compacted (flat) lists
-# The static per-target capacity is max-bound (every target pays for the
-# worst target's near count: measured mean 227 / max 414 of 2048 tiles at
-# N=65k). The flat path compacts the lists into one work array so cost is
-# MEAN-bound: entries grouped in 64-entry chunks, each chunk tagged with
-# its target tile; the near kernel streams chunks and re-initializes its
-# output block whenever the tag changes (output revisiting).
-FLAT_CHUNK = 64          # near-list entries per work chunk (= 2048 lanes)
-DEFAULT_NEAR_SLACK = 96  # extra closest-far tiles computed exactly per
-                         # target (accuracy headroom, like the margin)
+# Near cost with per-target static capacity is max-bound (every target
+# pays for the worst target's near count). The flat path compacts the
+# per-target near lists into ONE work array so cost is MEAN-bound, and
+# works at an ASYMMETRIC granularity: target rows stay ``tile`` (=32)
+# bodies — the output/accuracy granularity — while near SOURCES span
+# ``src_tile`` (=128) bodies. Coarser sources shrink every bookkeeping
+# structure 4x (acceptance matrix, top_k, far-field summary count) and
+# make each near entry a 2 KiB, 128-lane-aligned panel the near kernel
+# fetches STRAIGHT from HBM via scalar-prefetched index maps — no gathered
+# panel array is materialized (the round-2 gather kernel moved ~2 GiB of
+# 512 B panels per eval at N=262k and cost 22 ms). The price is a thicker
+# exact-near boundary shell (the opening test fires earlier for bigger
+# sources); measured (tools/profile_treecode.py) the trade wins ~2x.
+CHUNK_LANES = 2048        # near-work lanes per kernel grid step
+DEFAULT_SRC_TILE = 128    # source granularity (bodies) of the flat path
+DEFAULT_NEAR_SLACK = 8    # extra closest-far source tiles computed exactly
+                          # per target (headroom for inter-rebuild drift)
+_SEG_PREFETCH_INT32 = 100_000  # per-call scalar-prefetch budget (SMEM 1 MiB)
+
+
+def _flat_static(n, tile, src_tile, theta, max_near, vip_tiles):
+    if src_tile % tile:
+        raise ValueError(f"src_tile={src_tile} must be a multiple of "
+                         f"tile={tile}")
+    if n % src_tile:
+        raise ValueError(f"flat treecode: N={n} must be a multiple of "
+                         f"src_tile={src_tile}")
+    if not (0.0 < theta <= 1.0):
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    if src_tile > CHUNK_LANES:
+        raise ValueError(f"src_tile={src_tile} > {CHUNK_LANES}")
+    k_t = n // tile
+    k_s = n // src_tile
+    entries = CHUNK_LANES // src_tile
+    if k_s < entries:
+        raise ValueError(f"flat path needs K_src >= {entries}; "
+                         "use treecode_acc")
+    max_near = max(-(-max_near // entries) * entries, entries)
+    max_near = min(max_near, k_s - (k_s % entries) or k_s)
+    vip_src = _clamp_vip(_vip_src_tiles(vip_tiles, tile, src_tile), k_s)
+    return k_t, k_s, entries, max_near, vip_src
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "theta", "max_near", "vip_tiles", "slack",
-                     "flat_cap"),
+    static_argnames=("tile", "src_tile", "theta", "max_near", "vip_tiles",
+                     "slack", "flat_cap"),
 )
 def build_tree_flat(
     pos: jax.Array,
     mass: jax.Array,
     *,
     tile: int = DEFAULT_TILE,
+    src_tile: int = DEFAULT_SRC_TILE,
     theta: float = DEFAULT_THETA,
     max_near: int = DEFAULT_MAX_NEAR,
     vip_tiles: int = DEFAULT_VIP_TILES,
     slack: int = DEFAULT_NEAR_SLACK,
     flat_cap: int,
 ):
-    """Compacted acceptance structures.
+    """Compacted asymmetric acceptance structures.
 
-    Returns (flat_tiles (flat_cap,), chunk_tgt (flat_cap/64,), near_mask,
-    is_vip_body). Row i occupies v_i = round_up(open_count_i + slack, 64)
-    slots (clamped to max_near); overflow past ``flat_cap`` drops the
-    tail rows' entries to the dump slot — size ``flat_cap`` with margin
-    via :func:`suggest_flat_cap`.
+    Returns ``(flat_src (flat_cap,), chunk_tgt (flat_cap/E,), near_mask
+    (K_t, K_s) bool, is_vip_body (N,))`` with E = CHUNK_LANES/src_tile
+    entries per work chunk. Target row i occupies
+    ``v_i = round_up(open_count_i + slack, E)`` slots (clamped to
+    ``max_near``, worst tiles first); entries past ``flat_cap`` drop, and
+    ``near_mask`` is reconstructed from the entries that actually LANDED,
+    so the far field exactly complements the near coverage even under
+    capacity overflow (nothing is ever double-counted or lost to both
+    sides). Size ``flat_cap`` with margin via :func:`suggest_flat_cap`.
     """
     n = pos.shape[0]
-    k, max_near, vip_tiles = _static_args(n, tile, theta, max_near, vip_tiles)
-    if k < FLAT_CHUNK:
-        raise ValueError(f"flat path needs K >= {FLAT_CHUNK}; use treecode_acc")
-    max_near = max(-(-max_near // FLAT_CHUNK) * FLAT_CHUNK, FLAT_CHUNK)
-    max_near = min(max_near, k - (k % FLAT_CHUNK) or k)
+    k_t, k_s, entries, max_near, vip_src = _flat_static(
+        n, tile, src_tile, theta, max_near, vip_tiles)
     f32 = jnp.float32
     i32 = jnp.int32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
-    if vip_tiles:
-        mass_tree, _, is_vip_body = _vip_split(pos, mass, tile, vip_tiles)
+    if vip_src:
+        mass_tree, _, is_vip_body = _vip_split(pos, mass, src_tile, vip_src)
     else:
         is_vip_body = jnp.zeros((n,), bool)
         mass_tree = mass
-    com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
-    ratio = _opening_ratio(pos, com, radius, tile)              # (K, K)
-    _, near_idx = lax.top_k(ratio, max_near)                    # (K, M)
+    com, _, radius, _ = tile_summaries(pos, mass_tree, src_tile)
+    ratio = _opening_ratio(pos, com, radius, tile,
+                           src_tile=src_tile)                   # (K_t, K_s)
+    _, near_idx = lax.top_k(ratio, max_near)                    # (K_t, M)
     near_idx = near_idx.astype(i32)
-    cnt = jnp.sum(ratio > theta, axis=1).astype(i32)            # (K,)
+    cnt = jnp.sum(ratio > theta, axis=1).astype(i32)            # (K_t,)
     v = jnp.clip(
-        ((cnt + slack + FLAT_CHUNK - 1) // FLAT_CHUNK) * FLAT_CHUNK,
-        FLAT_CHUNK, max_near,
-    )                                                           # (K,)
+        ((cnt + slack + entries - 1) // entries) * entries,
+        entries, max_near,
+    )                                                           # (K_t,)
+    # Graceful overflow: if the total demand exceeds flat_cap, keep one
+    # chunk per row (so every row retains its top-ranked entries — the
+    # worst offenders, self tile first; a dropped self tile would inject a
+    # catastrophic self-multipole at d ~ 0) and scale the EXCESS
+    # proportionally. sum(v') <= k_t*E + sf*sum(v - E) <= flat_cap, so no
+    # row ever spills past the capacity.
+    if flat_cap < k_t * entries:
+        raise ValueError(
+            f"flat_cap={flat_cap} < one chunk per target row "
+            f"({k_t} * {entries}); use suggest_flat_cap")
+    total = jnp.sum(v)
+    extra = v - entries
+    sf = ((flat_cap - k_t * entries)
+          / jnp.maximum(jnp.sum(extra), 1).astype(jnp.float32))
+    v_scaled = entries + (jnp.floor(extra.astype(jnp.float32) * sf)
+                          .astype(i32) // entries) * entries
+    v = jnp.where(total > flat_cap, v_scaled, v)
     offs = jnp.concatenate([jnp.zeros((1,), i32),
-                            jnp.cumsum(v, dtype=i32)])[:k]      # (K,)
+                            jnp.cumsum(v, dtype=i32)])[:k_t]    # (K_t,)
 
-    s_idx = jax.lax.broadcasted_iota(i32, (k, max_near), 1)
+    s_idx = jax.lax.broadcasted_iota(i32, (k_t, max_near), 1)
     valid = s_idx < v[:, None]
     dest = jnp.where(valid, offs[:, None] + s_idx, flat_cap)
-    flat_tiles = (
-        jnp.full((flat_cap + 1,), k, i32)                       # sentinel
+    flat_src = (
+        jnp.full((flat_cap + 1,), k_s, i32)                     # sentinel
         .at[dest.reshape(-1)].set(near_idx.reshape(-1), mode="drop")
     )[:flat_cap]
 
-    n_chunks = flat_cap // FLAT_CHUNK
-    cpr = max_near // FLAT_CHUNK                                # chunks/row
-    c_idx = jax.lax.broadcasted_iota(i32, (k, cpr), 1)
-    cvalid = c_idx < (v // FLAT_CHUNK)[:, None]
-    cdest = jnp.where(cvalid, offs[:, None] // FLAT_CHUNK + c_idx, n_chunks)
-    rows = jax.lax.broadcasted_iota(i32, (k, cpr), 0)
+    n_chunks = flat_cap // entries
+    cpr = max_near // entries                                   # chunks/row
+    c_idx = jax.lax.broadcasted_iota(i32, (k_t, cpr), 1)
+    cvalid = c_idx < (v // entries)[:, None]
+    cdest = jnp.where(cvalid, offs[:, None] // entries + c_idx, n_chunks)
+    rows = jax.lax.broadcasted_iota(i32, (k_t, cpr), 0)
     chunk_tgt = (
-        jnp.full((n_chunks + 1,), k, i32)                       # dummy target
+        jnp.full((n_chunks + 1,), k_t, i32)                     # dummy target
         .at[cdest.reshape(-1)].set(rows.reshape(-1), mode="drop")
     )[:n_chunks]
 
-    row_ids = jax.lax.broadcasted_iota(i32, (k, max_near), 0)
+    # Far-field complement from the entries that LANDED (slot -> its
+    # chunk's target row; sentinel rows/cols fall out via OOB drop).
+    slot_rows = jnp.repeat(chunk_tgt, entries)                  # (flat_cap,)
     near_mask = (
-        jnp.zeros((k, k), bool)
-        .at[row_ids.reshape(-1), near_idx.reshape(-1)]
-        .max(valid.reshape(-1))
+        jnp.zeros((k_t, k_s), bool)
+        .at[slot_rows, flat_src]
+        .max(jnp.ones((flat_cap,), bool), mode="drop")
     )
-    return flat_tiles, chunk_tgt, near_mask, is_vip_body
+    return flat_src, chunk_tgt, near_mask, is_vip_body
 
 
 def suggest_flat_cap(pos, mass, *, tile: int = DEFAULT_TILE,
+                     src_tile: int = DEFAULT_SRC_TILE,
                      theta: float = DEFAULT_THETA,
                      vip_tiles: int = DEFAULT_VIP_TILES,
                      slack: int = DEFAULT_NEAR_SLACK,
                      margin: float = 1.25) -> int:
-    """Static flat-list capacity for this distribution (host-side)."""
+    """Static flat-list capacity for this distribution (host-side).
+
+    ``margin`` covers near-count growth over the whole run (the capacity
+    is fixed at init, unlike the lists which rebuild every few steps);
+    unused tail chunks carry the sentinel tag and the near kernel skips
+    their compute, so headroom costs almost nothing.
+    """
     counts = np.asarray(open_counts(
         jnp.asarray(pos), jnp.asarray(mass),
-        tile=tile, theta=theta, vip_tiles=vip_tiles,
+        tile=tile, theta=theta, vip_tiles=vip_tiles, src_tile=src_tile,
     ))
+    entries = CHUNK_LANES // src_tile
     v = np.maximum(
-        ((counts + slack + FLAT_CHUNK - 1) // FLAT_CHUNK) * FLAT_CHUNK,
-        FLAT_CHUNK,
+        ((counts + slack + entries - 1) // entries) * entries, entries,
     )
     need = int(math.ceil(float(v.sum()) * margin))
-    return ((need + FLAT_CHUNK - 1) // FLAT_CHUNK) * FLAT_CHUNK
+    k_t = max(pos.shape[0] // tile, 1)
+    need = max(need, k_t * entries)    # >= one chunk per target row
+    return ((need + entries - 1) // entries) * entries
 
 
-def _gather_flat_pallas(pos, scaled_mass, flat_tiles, tile: int,
-                        interpret: bool):
-    """(4, flat_cap * tile) compacted panels via the copy kernel.
+def _near_flat_kernel(ctgt_ref, fsrc_ref, rows_ref, acc_ref, *refs,
+                      c2, eps2, tile, entries, k_t):
+    """Direct-fetch flat near kernel: one CHUNK_LANES-wide chunk of
+    ``entries`` source panels per grid step, each panel DMA'd straight
+    from the (K_s+1, 4, S) tile array by a scalar-prefetched index map —
+    no gathered panel array exists. The output block is selected (and
+    seeded from the aliased accumulator) by the chunk's target tag;
+    sentinel chunks (tag == K_t, the unused capacity tail) skip all
+    compute, so flat_cap headroom is nearly free. ``acc_ref`` aliases the
+    output buffer so the near field can run in segments (the scalar
+    prefetch must fit SMEM) with straddled targets accumulating across
+    calls.
+    """
+    out_ref = refs[entries]
+    p = pl.program_id(0)
+    tgt = ctgt_ref[p]
+    prev = ctgt_ref[jnp.maximum(p - 1, 0)]
+    first = jnp.logical_or(p == 0, tgt != prev)
 
-    Identical to :func:`_gather_panels_pallas` but over the flat list;
-    the tiles array grows a zero sentinel row (index K) so dump/tail
-    entries contribute nothing.
+    @pl.when(tgt != k_t)
+    def _():
+        xi = rows_ref[:, 0:1]
+        yi = rows_ref[:, 1:2]
+        zi = rows_ref[:, 2:3]
+        # One wide panel, one long op chain: per-entry (T, S) chains are
+        # short vector ops that underfill the VPU pipelines (the round-2
+        # kernel measured its sweet spot at ~2-4k-lane chunks); the
+        # VMEM-to-VMEM concat costs ~4*CHUNK_LANES moves vs ~15x that in
+        # pair math.
+        pan = jnp.concatenate([refs[s][0] for s in range(entries)], axis=1)
+        dx = pan[0:1, :] - xi                                # (T, E*S)
+        dy = pan[1:2, :] - yi
+        dz = pan[2:3, :] - zi
+        r2 = dx * dx + dy * dy + dz * dz
+        inv = lax.rsqrt(r2 * c2 + eps2)
+        w = pan[3:4, :] * (inv * inv * inv)
+        upd = jnp.concatenate(
+            [
+                jnp.sum(w * dx, axis=1, keepdims=True),
+                jnp.sum(w * dy, axis=1, keepdims=True),
+                jnp.sum(w * dz, axis=1, keepdims=True),
+                jnp.zeros((tile, 5), out_ref.dtype),
+            ],
+            axis=1,
+        )
+
+        @pl.when(first)
+        def _():
+            out_ref[...] = acc_ref[...] + upd
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[...] += upd
+
+
+def _near_field_flat(pos, tiles, flat_src, chunk_tgt, *, eps2: float,
+                     c2: float, tile: int, src_tile: int, interpret: bool,
+                     seg_budget: int = _SEG_PREFETCH_INT32):
+    """Mean-bound exact near field, (N, 3).
+
+    ``tiles`` is the (K_s + 1, 4, S) componentwise source array (sentinel
+    zero row last, mass pre-scaled by G*c^3). Segmented so each call's
+    scalar prefetch (chunk tags + entry indices) fits SMEM; the
+    accumulator output is aliased through the segments.
     """
     n = pos.shape[0]
-    k_src = n // tile
-    flat_cap = flat_tiles.shape[0]
-    group = FLAT_CHUNK // 2                                    # 32 DMAs/step
-    f32 = jnp.float32
-    tiles = jnp.stack(
-        [pos[:, 0].reshape(k_src, tile), pos[:, 1].reshape(k_src, tile),
-         pos[:, 2].reshape(k_src, tile), scaled_mass.reshape(k_src, tile)],
-        axis=1,
-    )                                                           # (K, 4, T)
-    tiles = jnp.concatenate(
-        [tiles, jnp.zeros((1, 4, tile), f32)], axis=0
-    )                                                           # + sentinel
-
-    def make_map(s):
-        return lambda p, nr: (nr[p * group + s], 0, 0)
-
-    seg = max(group, min(flat_cap, 160_000))
-    seg -= seg % group
-    while flat_cap % seg:
-        seg -= group
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(seg // group,),
-        in_specs=[pl.BlockSpec((1, 4, tile), make_map(s))
-                  for s in range(group)],
-        out_specs=pl.BlockSpec((4, group * tile), lambda p, nr: (0, p)),
-    )
-    call = pl.pallas_call(
-        functools.partial(_gather_kernel, group=group, tile=tile),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, seg * tile), f32),
-        cost_estimate=pl.CostEstimate(
-            flops=0, bytes_accessed=8 * seg * tile * 4, transcendentals=0,
-        ),
-        interpret=interpret,
-    )
-    outs = [call(flat_tiles[o:o + seg], *([tiles] * group))
-            for o in range(0, flat_cap, seg)]
-    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-
-
-def _near_flat_kernel(ctgt_ref, rows_ref, pan_ref, out_ref,
-                      *, c2, eps2, tile):
-    """Flat near kernel: one 64-entry chunk per grid step, output block
-    selected (and re-initialized) by the chunk's target tag."""
-    p = pl.program_id(0)
-    prev = ctgt_ref[jnp.maximum(p - 1, 0)]
-    first = jnp.logical_or(p == 0, ctgt_ref[p] != prev)
-
-    xi = rows_ref[:, 0:1]
-    yi = rows_ref[:, 1:2]
-    zi = rows_ref[:, 2:3]
-    dx = pan_ref[0:1, :] - xi
-    dy = pan_ref[1:2, :] - yi
-    dz = pan_ref[2:3, :] - zi
-    r2 = dx * dx + dy * dy + dz * dz
-    inv = lax.rsqrt(r2 * c2 + eps2)
-    w = pan_ref[3:4, :] * (inv * inv * inv)
-
-    upd = jnp.concatenate(
-        [
-            jnp.sum(w * dx, axis=1, keepdims=True),
-            jnp.sum(w * dy, axis=1, keepdims=True),
-            jnp.sum(w * dz, axis=1, keepdims=True),
-            jnp.zeros((tile, 5), out_ref.dtype),
-        ],
-        axis=1,
-    )
-
-    @pl.when(first)
-    def _():
-        out_ref[...] = upd
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        out_ref[...] += upd
-
-
-def _near_field_flat(pos, panels, chunk_tgt, *, eps2: float, c2: float,
-                     tile: int, interpret: bool):
-    n = pos.shape[0]
-    k = n // tile
+    k_t = n // tile
+    entries = CHUNK_LANES // src_tile
     f32 = jnp.float32
     n_chunks = chunk_tgt.shape[0]
-    ctile = FLAT_CHUNK * tile
     rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)
     rows = jnp.concatenate([rows, jnp.zeros((tile, 4), f32)], axis=0)
+    acc = jnp.zeros(((k_t + 1) * tile, 8), f32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((tile, 4), lambda p, ct: (ct[p], 0)),
-            pl.BlockSpec((4, ctile), lambda p, ct: (0, p)),
-        ],
-        out_specs=pl.BlockSpec((tile, 8), lambda p, ct: (ct[p], 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_near_flat_kernel, c2=float(c2), eps2=float(eps2),
-                          tile=tile),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(((k + 1) * tile, 8), f32),
-        cost_estimate=pl.CostEstimate(
-            flops=15 * n_chunks * tile * ctile,
-            bytes_accessed=(n * 4 + 4 * n_chunks * ctile) * 4,
-            transcendentals=n_chunks * tile * ctile,
-        ),
-        interpret=interpret,
-    )(chunk_tgt, rows, panels)
-    return out[:n, :3]
+    def make_map(s):
+        return lambda p, ct, fs: (fs[p * entries + s], 0, 0)
+
+    seg = max(1, min(n_chunks, seg_budget // (entries + 1)))
+    for start in range(0, n_chunks, seg):
+        size = min(seg, n_chunks - start)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(size,),
+            in_specs=[
+                pl.BlockSpec((tile, 4), lambda p, ct, fs: (ct[p], 0)),
+                pl.BlockSpec((tile, 8), lambda p, ct, fs: (ct[p], 0)),
+            ] + [pl.BlockSpec((1, 4, src_tile), make_map(s))
+                 for s in range(entries)],
+            out_specs=pl.BlockSpec((tile, 8), lambda p, ct, fs: (ct[p], 0)),
+        )
+        acc = pl.pallas_call(
+            functools.partial(_near_flat_kernel, c2=float(c2),
+                              eps2=float(eps2), tile=tile, entries=entries,
+                              k_t=k_t),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(((k_t + 1) * tile, 8), f32),
+            # inputs (incl. the 2 scalar-prefetch operands): the aliased
+            # accumulator is operand 3 (ct, fs, rows, acc, *tiles).
+            input_output_aliases={3: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=15 * size * tile * CHUNK_LANES,
+                bytes_accessed=(size * tile * 4
+                                + 4 * size * CHUNK_LANES) * 4,
+                transcendentals=size * tile * CHUNK_LANES,
+            ),
+            interpret=interpret,
+        )(chunk_tgt[start:start + size],
+          flat_src[start * entries:(start + size) * entries],
+          rows, acc, *([tiles] * entries))
+    return acc[:n, :3]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "eps2", "compensate", "G", "tile", "theta", "max_near", "vip_tiles",
-        "interpret",
+        "eps2", "compensate", "G", "tile", "src_tile", "theta", "max_near",
+        "vip_tiles", "interpret",
     ),
 )
 def treecode_acc_flat(
@@ -1082,19 +1151,24 @@ def treecode_acc_flat(
     compensate: float = 0.1,
     G: float = 1.0,
     tile: int = DEFAULT_TILE,
+    src_tile: int = DEFAULT_SRC_TILE,
     theta: float = DEFAULT_THETA,
     max_near: int = DEFAULT_MAX_NEAR,
     vip_tiles: int = DEFAULT_VIP_TILES,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Approximate acc (N, 3) with compacted near lists (TPU path).
+    """Approximate acc (N, 3) with compacted asymmetric near lists (the
+    TPU production path).
 
     ``aux_flat`` must come from :func:`build_tree_flat` with the same
-    static knobs. Physics identical to :func:`treecode_acc`; cost is
-    mean-bound instead of max-bound (~0.7x near work on a Plummer sphere).
+    static knobs. Physics identical to :func:`treecode_acc` (theta
+    acceptance, exact near field, monopole+quadrupole far field, exact
+    VIP rows both ways); cost is mean-bound instead of max-bound and the
+    near panels stream straight from HBM.
     """
     n = pos.shape[0]
-    k, max_near, vip_tiles = _static_args(n, tile, theta, max_near, vip_tiles)
+    k_t, k_s, _, max_near, vip_src = _flat_static(
+        n, tile, src_tile, theta, max_near, vip_tiles)
     c2 = compensate * compensate
     gc3 = G * c2 * compensate
     f32 = jnp.float32
@@ -1103,27 +1177,35 @@ def treecode_acc_flat(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    flat_tiles, chunk_tgt, near_mask, is_vip_body = aux_flat
-    if vip_tiles:
+    flat_src, chunk_tgt, near_mask, is_vip_body = aux_flat
+    if vip_src:
         vip_tile_idx = jnp.nonzero(
-            is_vip_body.reshape(k, tile)[:, 0], size=vip_tiles, fill_value=0
+            is_vip_body.reshape(k_s, src_tile)[:, 0], size=vip_src,
+            fill_value=0,
         )[0]
-        vip_body_idx = (vip_tile_idx[:, None] * tile
-                        + jnp.arange(tile, dtype=jnp.int32)[None, :]
+        vip_body_idx = (vip_tile_idx[:, None] * src_tile
+                        + jnp.arange(src_tile, dtype=jnp.int32)[None, :]
                         ).reshape(-1)
         mass_tree = jnp.where(is_vip_body, 0.0, mass)
     else:
         mass_tree = mass
 
-    com, m_tot, _, quad = tile_summaries(pos, mass_tree, tile)
-    panels = _gather_flat_pallas(pos, mass_tree * f32(gc3), flat_tiles,
-                                 tile, interpret)
-    acc = _near_field_flat(pos, panels, chunk_tgt, eps2=eps2, c2=c2,
-                           tile=tile, interpret=interpret)
+    com, m_tot, _, quad = tile_summaries(pos, mass_tree, src_tile)
+    scaled = mass_tree * f32(gc3)
+    tiles = jnp.stack(
+        [pos[:, 0].reshape(k_s, src_tile), pos[:, 1].reshape(k_s, src_tile),
+         pos[:, 2].reshape(k_s, src_tile), scaled.reshape(k_s, src_tile)],
+        axis=1,
+    )
+    tiles = jnp.concatenate([tiles, jnp.zeros((1, 4, src_tile), f32)],
+                            axis=0)                         # + sentinel row
+    acc = _near_field_flat(pos, tiles, flat_src, chunk_tgt, eps2=eps2,
+                           c2=c2, tile=tile, src_tile=src_tile,
+                           interpret=interpret)
     acc = acc + _far_field_pallas(pos, com, m_tot, quad, near_mask,
                                   eps2=eps2, c2=c2, G=G, tile=tile,
                                   interpret=interpret)
-    if vip_tiles:
+    if vip_src:
         scaled_all = mass * f32(gc3)
         action, acc_vip = _vip_both_pallas(
             pos, scaled_all, pos[vip_body_idx], scaled_all[vip_body_idx],

@@ -70,14 +70,16 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
     flat_cap = cfg.tree_flat_cap
+    src = cfg.tree_src_tile
 
     def chunk(state: SimState, ids: jax.Array, length: int):
         state, ids = device_resort(state, ids)
         if flat_cap > 0:
-            aux = build_tree_flat(state.pos, state.mass,
+            aux = build_tree_flat(state.pos, state.mass, src_tile=src,
                                   slack=cfg.tree_near_slack,
                                   flat_cap=flat_cap, **sel)
-            force = lambda pos, mass: treecode_acc_flat(pos, mass, aux, **kw)
+            force = lambda pos, mass: treecode_acc_flat(
+                pos, mass, aux, src_tile=src, **kw)
         else:
             aux = build_tree(state.pos, state.mass, **sel)
             force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
@@ -187,6 +189,7 @@ class Simulation:
         need = required_padding(
             solver, state.n, cfg.block_size, cfg.pallas_tile_i,
             cfg.pallas_tile_j, cfg.pallas_sym_tile, cfg.tree_tile,
+            cfg.tree_src_tile,
         )
         if state.n < need:
             state = pad_state_to(state, need)
@@ -195,24 +198,31 @@ class Simulation:
             # initial distribution; margins absorb drift between re-sorts.
             # Static shapes, so they must be fixed pre-trace.
             from n_body_problem_tpu.ops.treecode import (
-                FLAT_CHUNK,
+                CHUNK_LANES,
                 suggest_flat_cap,
                 suggest_max_near,
             )
 
+            use_flat = (
+                cfg.tree_flat_cap == 0
+                and (backend or jax.default_backend()) == "tpu"
+                and state.n >= CHUNK_LANES
+                and state.n % cfg.tree_src_tile == 0
+            )
+            # The flat path counts near capacity in SOURCE tiles; the
+            # dense path in target tiles.
+            src = (cfg.tree_src_tile
+                   if use_flat or cfg.tree_flat_cap > 0 else None)
             if cfg.tree_max_near == 0:
                 cfg = cfg.replace(tree_max_near=suggest_max_near(
                     state.pos, state.mass, tile=cfg.tree_tile,
                     theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                    src_tile=src,
                 ))
-            use_flat = (
-                cfg.tree_flat_cap == 0
-                and (backend or jax.default_backend()) == "tpu"
-                and state.n // cfg.tree_tile >= FLAT_CHUNK
-            )
             if use_flat:
                 cfg = cfg.replace(tree_flat_cap=suggest_flat_cap(
                     state.pos, state.mass, tile=cfg.tree_tile,
+                    src_tile=cfg.tree_src_tile,
                     theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
                     slack=cfg.tree_near_slack,
                 ))

@@ -193,10 +193,10 @@ def test_long_run_stability_with_device_resort():
 
 
 def test_flat_path_matches_dense_path():
-    """The compacted (mean-bound) near path computes the same physics as
-    the per-target static lists — near sets may differ only in the spare
-    slots (extra exact tiles), so agreement must hold to the approximation
-    envelope, and the flat near field must cover at least the open set."""
+    """The compacted asymmetric near path (source tiles 4x the target
+    granularity) computes the same physics as the per-target static lists
+    — its near sets are supersets at coarser granularity, so agreement
+    must hold to the approximation envelope."""
     from n_body_problem_tpu.ops.treecode import (
         build_tree_flat,
         suggest_flat_cap,
@@ -204,13 +204,100 @@ def test_flat_path_matches_dense_path():
     )
 
     state = _sorted_plummer(4096, seed=41)
-    kw = dict(tile=32, theta=0.5, max_near=128, vip_tiles=16)
-    cap = suggest_flat_cap(state.pos, state.mass, tile=32, theta=0.5,
-                           vip_tiles=16, slack=32)
-    aux = build_tree_flat(state.pos, state.mass, slack=32, flat_cap=cap, **kw)
+    mn = suggest_max_near(state.pos, state.mass, tile=32, src_tile=64,
+                          theta=0.5, vip_tiles=16, multiple=16)
+    kw = dict(tile=32, src_tile=64, theta=0.5, max_near=mn, vip_tiles=16)
+    cap = suggest_flat_cap(state.pos, state.mass, tile=32, src_tile=64,
+                           theta=0.5, vip_tiles=16, slack=2)
+    aux = build_tree_flat(state.pos, state.mass, slack=2, flat_cap=cap, **kw)
     got = treecode_acc_flat(state.pos, state.mass, aux, eps2=EPS2,
                             interpret=True, **kw)
     want = direct_acc(state.pos, state.mass, eps2=EPS2)
     err = _rel_err(got, want)
     assert np.median(err) < 5e-4, f"median {np.median(err):.2e}"
     assert np.percentile(err, 99) < 2e-3, f"p99 {np.percentile(err, 99):.2e}"
+
+
+def test_flat_segmented_accumulation_matches_single_call():
+    """The near field segments its scalar prefetch (SMEM budget); targets
+    whose chunks straddle a segment boundary accumulate across calls via
+    the aliased output. A tiny forced budget must reproduce the
+    single-call result exactly."""
+    import jax.numpy as jnp
+
+    from n_body_problem_tpu.ops.treecode import (
+        _near_field_flat,
+        build_tree_flat,
+        suggest_flat_cap,
+    )
+
+    state = _sorted_plummer(2048, seed=42)
+    kw = dict(tile=32, src_tile=128, theta=0.5, max_near=16, vip_tiles=0)
+    cap = suggest_flat_cap(state.pos, state.mass, tile=32, src_tile=128,
+                           theta=0.5, vip_tiles=0, slack=2)
+    flat_src, chunk_tgt, _, _ = build_tree_flat(
+        state.pos, state.mass, slack=2, flat_cap=cap, **kw)
+    k_s = 2048 // 128
+    tiles = jnp.stack(
+        [state.pos[:, 0].reshape(k_s, 128), state.pos[:, 1].reshape(k_s, 128),
+         state.pos[:, 2].reshape(k_s, 128), state.mass.reshape(k_s, 128)],
+        axis=1,
+    )
+    tiles = jnp.concatenate([tiles, jnp.zeros((1, 4, 128), jnp.float32)], 0)
+    args = dict(eps2=EPS2, c2=0.01, tile=32, src_tile=128, interpret=True)
+    one = _near_field_flat(state.pos, tiles, flat_src, chunk_tgt, **args)
+    # a budget of ~1/3 of the chunks forces two mid-row segment boundaries
+    n_chunks = int(chunk_tgt.shape[0])
+    segd = _near_field_flat(state.pos, tiles, flat_src, chunk_tgt,
+                            seg_budget=(n_chunks // 3 + 1) * (16 + 1),
+                            **args)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(segd),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_flat_capacity_overflow_is_consistent():
+    """When flat_cap can't hold every open entry, the dropped sources
+    must fall back to the far field (near_mask is rebuilt from entries
+    that actually landed) — degraded accuracy, but nothing double-counted
+    or lost. A 1e0-scale error would indicate a coverage hole."""
+    from n_body_problem_tpu.ops.treecode import (
+        build_tree_flat,
+        suggest_flat_cap,
+        treecode_acc_flat,
+    )
+
+    state = _sorted_plummer(4096, seed=43)
+    kw = dict(tile=32, src_tile=128, theta=0.5, max_near=32, vip_tiles=0)
+    full = suggest_flat_cap(state.pos, state.mass, tile=32, src_tile=128,
+                            theta=0.5, vip_tiles=0, slack=0, margin=1.0)
+    k_t_e = (4096 // 32) * 16                   # one chunk per row (floor)
+    cap = max(k_t_e, (full // 2) // 16 * 16)    # starve the capacity
+    aux = build_tree_flat(state.pos, state.mass, slack=0, flat_cap=cap, **kw)
+    flat_src, chunk_tgt, near_mask, _ = map(np.asarray, aux)
+
+    # Structural invariants under overflow:
+    k_t, k_s, entries = 4096 // 32, 4096 // 128, 16
+    slot_rows = np.repeat(chunk_tgt, entries)
+    # (1) every row keeps its top entries — the self source must land
+    self_ok = np.zeros(k_t, bool)
+    landed = np.zeros((k_t, k_s), bool)
+    for r, s in zip(slot_rows, flat_src):
+        if r < k_t and s < k_s:
+            landed[r, s] = True
+            if s == (r * 32) // 128:
+                self_ok[r] = True
+    assert self_ok.all(), f"{(~self_ok).sum()} rows dropped their self tile"
+    # (2) the far mask complements exactly what landed (no hole, no
+    # double count)
+    np.testing.assert_array_equal(near_mask, landed)
+
+    got = treecode_acc_flat(state.pos, state.mass, aux, eps2=EPS2,
+                            interpret=True, **kw)
+    want = direct_acc(state.pos, state.mass, eps2=EPS2)
+    err = _rel_err(got, want)
+    # Degraded (dropped near sources fall back to multipole at close
+    # range) but consistent: nothing explodes the way a coverage hole
+    # does (a dropped self tile measured p99 ~ 63).
+    assert np.percentile(err, 99) < 1.0, f"p99 {np.percentile(err, 99):.2e}"
+    assert np.median(err) < 2e-2, f"median {np.median(err):.2e}"
+    assert np.isfinite(np.asarray(got)).all()
