@@ -62,9 +62,11 @@ class SimConfig:
     # --- treecode solver (ops/treecode.py; requires Morton-sorted bodies,
     # Simulation auto-enables morton_sort for it) ---
     tree_tile: int = 32        # target-row Morton tile (output granularity)
-    tree_src_tile: int = 128   # SOURCE tile of the flat path (asymmetric
-                               # acceptance: bigger sources shrink the far
-                               # field + bookkeeping 4x, thicken near ~15%)
+    tree_src_tile: int = 64    # SOURCE tile of the flat path (asymmetric
+                               # acceptance: bigger sources shrink the
+                               # bookkeeping, thicken the exact near shell;
+                               # 64 measured fastest at N=262k with p99
+                               # error equal to 128's on the same state)
     tree_theta: float = 0.55   # Barnes-Hut opening angle (p99 force err ~8e-4 measured)
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
                                # (in source tiles on the flat path)

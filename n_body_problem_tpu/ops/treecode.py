@@ -866,7 +866,9 @@ def build_tree(
 # exact-near boundary shell (the opening test fires earlier for bigger
 # sources); measured (tools/profile_treecode.py) the trade wins ~2x.
 CHUNK_LANES = 2048        # near-work lanes per kernel grid step
-DEFAULT_SRC_TILE = 128    # source granularity (bodies) of the flat path
+DEFAULT_SRC_TILE = 64     # source granularity (bodies) of the flat path
+                          # (64 vs 128 measured: equal p99 error on the
+                          # same state, 18% faster end-to-end at N=262k)
 DEFAULT_NEAR_SLACK = 8    # extra closest-far source tiles computed exactly
                           # per target (headroom for inter-rebuild drift)
 _SEG_PREFETCH_INT32 = 100_000  # per-call scalar-prefetch budget (SMEM 1 MiB)
