@@ -142,7 +142,9 @@ def main() -> None:
         return
 
     # ---- flagship suite ----
-    tree = bench_config(262144, "treecode", steps=args.steps or 8)
+    # 32-step windows: the sandbox relay has a ~20-90 ms fixed dispatch
+    # cost per run() call; an 8-step window inflated ms/step by ~10%.
+    tree = bench_config(262144, "treecode", steps=args.steps or 32)
     exact = bench_config(65536, "pallas_symmetric", steps=args.steps or 16)
     ms_render = bench_render(65536, "pallas_symmetric")
 

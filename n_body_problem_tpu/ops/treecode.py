@@ -82,7 +82,19 @@ _TINY = 1e-12
 
 
 # --------------------------------------------------------------- summaries
+def _cols(pos):
+    """(N, 3) -> three (N,) coordinate columns (the only layout the hot
+    path touches; (N, 3) intermediates pad lanes 3 -> 128 on TPU)."""
+    return pos[:, 0], pos[:, 1], pos[:, 2]
+
+
 def tile_summaries(pos: jax.Array, mass: jax.Array, tile: int):
+    """Per-tile (com (K,3), m_tot (K,), radius (K,), quad (K,6)) — see
+    :func:`tile_summaries_cols`."""
+    return tile_summaries_cols(*_cols(pos), mass, tile)
+
+
+def tile_summaries_cols(xc, yc, zc, mass: jax.Array, tile: int):
     """Per-tile (com (K,3), m_tot (K,), radius (K,), quad (K,6)).
 
     ``radius`` spans bodies with mass > 0 only: massless padding bodies sit
@@ -96,11 +108,11 @@ def tile_summaries(pos: jax.Array, mass: jax.Array, tile: int):
     128-lane tiled layout on the trailing axis (42x padding) and were
     measured ~100x slower than this form.
     """
-    n = pos.shape[0]
+    n = xc.shape[0]
     k = n // tile
-    x = pos[:, 0].reshape(k, tile)
-    y = pos[:, 1].reshape(k, tile)
-    z = pos[:, 2].reshape(k, tile)
+    x = xc.reshape(k, tile)
+    y = yc.reshape(k, tile)
+    z = zc.reshape(k, tile)
     m = mass.reshape(k, tile)
     m_tot = jnp.sum(m, axis=1)                                  # (K,)
     inv_m = 1.0 / jnp.maximum(m_tot, _TINY)
@@ -137,9 +149,9 @@ def _chunk_size(n: int, target: int) -> int:
     return n
 
 
-def _min_tile_dist(pos: jax.Array, com: jax.Array, tile: int) -> jax.Array:
+def _min_tile_dist(xc, yc, zc, com: jax.Array, tile: int) -> jax.Array:
     """(K_t, K_s): min over bodies of target tile i of |y - com_j|."""
-    n = pos.shape[0]
+    n = xc.shape[0]
     k_s = com.shape[0]
     # chunk must divide n AND be a tile multiple (for the in-chunk min).
     chunk = tile * _chunk_size(n // tile, max(8192 // tile, 1))
@@ -155,19 +167,19 @@ def _min_tile_dist(pos: jax.Array, com: jax.Array, tile: int) -> jax.Array:
         return jnp.min(d2.reshape(-1, tile, k_s), axis=1)
 
     shape = (n // chunk, chunk)
-    d2_min = lax.map(per_chunk, (pos[:, 0].reshape(shape),
-                                 pos[:, 1].reshape(shape),
-                                 pos[:, 2].reshape(shape)))
+    d2_min = lax.map(per_chunk, (xc.reshape(shape),
+                                 yc.reshape(shape),
+                                 zc.reshape(shape)))
     return jnp.sqrt(d2_min.reshape(n // tile, k_s))
 
 
-def _tile_radius(pos, mass, tile: int):
+def _tile_radius(xc, yc, zc, mass, tile: int):
     """Radius-only summary (the VIP selector needs nothing else)."""
-    n = pos.shape[0]
+    n = xc.shape[0]
     k = n // tile
-    x = pos[:, 0].reshape(k, tile)
-    y = pos[:, 1].reshape(k, tile)
-    z = pos[:, 2].reshape(k, tile)
+    x = xc.reshape(k, tile)
+    y = yc.reshape(k, tile)
+    z = zc.reshape(k, tile)
     m = mass.reshape(k, tile)
     inv_m = 1.0 / jnp.maximum(jnp.sum(m, axis=1), _TINY)
     cx = jnp.sum(m * x, axis=1) * inv_m
@@ -180,12 +192,12 @@ def _tile_radius(pos, mass, tile: int):
     return jnp.sqrt(jnp.max(jnp.where(m > 0, r2, 0.0), axis=1))
 
 
-def _vip_split(pos, mass, tile: int, vip_tiles: int):
+def _vip_split(xc, yc, zc, mass, tile: int, vip_tiles: int):
     """(mass_tree, vip_body_idx (W,), is_vip_body (N,)) — pull the
     ``vip_tiles`` largest-radius tiles out of the tree."""
-    n = pos.shape[0]
+    n = xc.shape[0]
     k = n // tile
-    radius = _tile_radius(pos, mass, tile)
+    radius = _tile_radius(xc, yc, zc, mass, tile)
     _, vip_idx = lax.top_k(radius, vip_tiles)                   # (V,)
     body_idx = (vip_idx[:, None] * tile
                 + jnp.arange(tile, dtype=vip_idx.dtype)[None, :]).reshape(-1)
@@ -196,7 +208,7 @@ def _vip_split(pos, mass, tile: int, vip_tiles: int):
 
 
 # -------------------------------------------------------------- acceptance
-def _opening_ratio(pos, com, radius, tile: int, row_offset=0,
+def _opening_ratio(xc, yc, zc, com, radius, tile: int, row_offset=0,
                    src_tile: int | None = None):
     """(K_t, K_s) opening ratios radius_j / min-body-distance, self = inf.
 
@@ -208,9 +220,9 @@ def _opening_ratio(pos, com, radius, tile: int, row_offset=0,
     """
     src_tile = src_tile or tile
     f = src_tile // tile
-    k_t = pos.shape[0] // tile
+    k_t = xc.shape[0] // tile
     k_s = com.shape[0]
-    min_d = _min_tile_dist(pos, com, tile)                      # (K_t, K_s)
+    min_d = _min_tile_dist(xc, yc, zc, com, tile)               # (K_t, K_s)
     ratio = radius[None, :] / jnp.maximum(min_d, _TINY)
     rows = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 0) + row_offset
     cols = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 1)
@@ -224,7 +236,7 @@ def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int,
     Returns (near_idx (K_t, M) int32, near_mask (K_t, K_s) bool).
     """
     k_s = com.shape[0]
-    ratio = _opening_ratio(pos, com, radius, tile, row_offset)
+    ratio = _opening_ratio(*_cols(pos), com, radius, tile, row_offset)
     _, near_idx = lax.top_k(ratio, max_near)                    # (K_t, M)
     near_mask = jnp.any(
         near_idx[:, :, None] == jnp.arange(k_s)[None, None, :], axis=1
@@ -247,12 +259,13 @@ def open_counts(pos, mass, *, tile: int = DEFAULT_TILE,
     n = pos.shape[0]
     src_tile = src_tile or tile
     k_s = n // src_tile
+    xc, yc, zc = _cols(pos)
     vip_src = _clamp_vip(_vip_src_tiles(vip_tiles, tile, src_tile), k_s)
     mass_tree = mass
     if vip_src:
-        mass_tree, _, _ = _vip_split(pos, mass, src_tile, vip_src)
-    com, _, radius, _ = tile_summaries(pos, mass_tree, src_tile)
-    ratio = _opening_ratio(pos, com, radius, tile, src_tile=src_tile)
+        mass_tree, _, _ = _vip_split(xc, yc, zc, mass, src_tile, vip_src)
+    com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, src_tile)
+    ratio = _opening_ratio(xc, yc, zc, com, radius, tile, src_tile=src_tile)
     return jnp.sum(ratio > theta, axis=1)
 
 
@@ -362,10 +375,20 @@ def _far_kernel(rows_ref,       # (T, 4) target tile [x y z _]
 def _far_field_pallas(pos, com, m_tot, quad, near_mask, *,
                       eps2: float, c2: float, G: float, tile: int,
                       interpret: bool):
-    n = pos.shape[0]
+    return _far_field_pallas_cols(
+        *_cols(pos), com, m_tot, quad, near_mask, eps2=eps2, c2=c2, G=G,
+        tile=tile, interpret=interpret)[:, :3]
+
+
+def _far_field_pallas_cols(xc, yc, zc, com, m_tot, quad, near_mask, *,
+                           eps2: float, c2: float, G: float, tile: int,
+                           interpret: bool):
+    """(N, 8) far-field accelerations in columns 0..2 (raw kernel buffer —
+    callers on the columnar path slice components themselves)."""
+    n = xc.shape[0]
     k = com.shape[0]
     f32 = jnp.float32
-    rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)   # (N, 4)
+    rows = jnp.stack([xc, yc, zc, jnp.zeros((n,), f32)], axis=1)    # (N, 4)
     tr = quad[:, 0] + quad[:, 1] + quad[:, 2]
     summ = jnp.concatenate(
         [com.T, m_tot.reshape(1, k), quad.T, tr.reshape(1, k),
@@ -404,7 +427,7 @@ def _far_field_pallas(pos, com, m_tot, quad, near_mask, *,
         ),
         interpret=interpret,
     )(rows, summ, maskf)
-    return out[:, :3]
+    return out
 
 
 def _far_field(pos, com, m_tot, quad, near_mask, *,
@@ -722,23 +745,34 @@ def _vip_kernel(xi_ref, yi_ref, zi_ref, mi_ref,   # (TI, 1) all-body rows
 def _vip_both_pallas(pos, scaled_mass_all, vip_pos, vip_scaled_mass, *,
                      eps2: float, c2: float, interpret: bool):
     """(action (N,3) of the VIP panel on every row body, reaction (W,3) =
-    the rows' pull on each VIP) in ONE rectangular Pallas sweep.
+    the rows' pull on each VIP) in ONE rectangular Pallas sweep."""
+    out, react = _vip_both_pallas_cols(
+        *_cols(pos), scaled_mass_all, *_cols(vip_pos), vip_scaled_mass,
+        eps2=eps2, c2=c2, interpret=interpret)
+    return out[:, :3], react[:3, :].T
+
+
+def _vip_both_pallas_cols(xc, yc, zc, scaled_mass_all,
+                          vx, vy, vz, vip_scaled_mass, *,
+                          eps2: float, c2: float, interpret: bool):
+    """Columnar VIP sweep core: ((N, 8) action buffer [cols 0..2], (8, W)
+    reaction buffer [rows 0..2]).
 
     Rows and panel are decoupled so the multi-chip path can sweep LOCAL
     rows against the GLOBAL panel (reactions then psum to completeness).
     """
-    n = pos.shape[0]
-    w_cnt = vip_pos.shape[0]
+    n = xc.shape[0]
+    w_cnt = vx.shape[0]
     f32 = jnp.float32
     tile_i = _chunk_size(n, 256)
     tile_j = _chunk_size(w_cnt, 1024)
-    xi = pos[:, 0:1]
-    yi = pos[:, 1:2]
-    zi = pos[:, 2:3]
+    xi = xc[:, None]
+    yi = yc[:, None]
+    zi = zc[:, None]
     mi = scaled_mass_all.reshape(n, 1)
-    xj = vip_pos[:, 0].reshape(1, w_cnt)
-    yj = vip_pos[:, 1].reshape(1, w_cnt)
-    zj = vip_pos[:, 2].reshape(1, w_cnt)
+    xj = vx.reshape(1, w_cnt)
+    yj = vy.reshape(1, w_cnt)
+    zj = vz.reshape(1, w_cnt)
     mj = vip_scaled_mass.reshape(1, w_cnt)
 
     col = lambda: pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
@@ -765,7 +799,7 @@ def _vip_both_pallas(pos, scaled_mass_all, vip_pos, vip_scaled_mass, *,
         ),
         interpret=interpret,
     )(xi, yi, zi, mi, xj, yj, zj, mj)
-    return out[:, :3], react[:3, :].T
+    return out, react
 
 
 def _dense_sweep(pos_i, pos_j, scaled_mass_j, *, eps2: float, c2: float,
@@ -841,12 +875,14 @@ def build_tree(
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
+    xc, yc, zc = _cols(pos)
     if vip_tiles:
-        mass_tree, _, is_vip_body = _vip_split(pos, mass, tile, vip_tiles)
+        mass_tree, _, is_vip_body = _vip_split(xc, yc, zc, mass, tile,
+                                               vip_tiles)
     else:
         is_vip_body = jnp.zeros((n,), bool)
         mass_tree = mass
-    com, _, radius, _ = tile_summaries(pos, mass_tree, tile)
+    com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, tile)
     near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
     return near_idx, near_mask, is_vip_body
 
@@ -926,20 +962,43 @@ def build_tree_flat(
     capacity overflow (nothing is ever double-counted or lost to both
     sides). Size ``flat_cap`` with margin via :func:`suggest_flat_cap`.
     """
-    n = pos.shape[0]
+    return build_tree_flat_cols(
+        *_cols(pos), mass, tile=tile, src_tile=src_tile, theta=theta,
+        max_near=max_near, vip_tiles=vip_tiles, slack=slack,
+        flat_cap=flat_cap)
+
+
+def build_tree_flat_cols(
+    xc, yc, zc, mass,
+    *,
+    tile: int = DEFAULT_TILE,
+    src_tile: int = DEFAULT_SRC_TILE,
+    theta: float = DEFAULT_THETA,
+    max_near: int = DEFAULT_MAX_NEAR,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+    slack: int = DEFAULT_NEAR_SLACK,
+    flat_cap: int,
+):
+    """Columnar core of :func:`build_tree_flat` ((N,) coordinate columns
+    in; same outputs). The scanned run carries columns, so this avoids
+    ever materializing an (N, 3) array on the hot path."""
+    n = xc.shape[0]
     k_t, k_s, entries, max_near, vip_src = _flat_static(
         n, tile, src_tile, theta, max_near, vip_tiles)
     f32 = jnp.float32
     i32 = jnp.int32
-    pos = pos.astype(f32)
+    xc = xc.astype(f32)
+    yc = yc.astype(f32)
+    zc = zc.astype(f32)
     mass = mass.astype(f32)
     if vip_src:
-        mass_tree, _, is_vip_body = _vip_split(pos, mass, src_tile, vip_src)
+        mass_tree, _, is_vip_body = _vip_split(xc, yc, zc, mass, src_tile,
+                                               vip_src)
     else:
         is_vip_body = jnp.zeros((n,), bool)
         mass_tree = mass
-    com, _, radius, _ = tile_summaries(pos, mass_tree, src_tile)
-    ratio = _opening_ratio(pos, com, radius, tile,
+    com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, src_tile)
+    ratio = _opening_ratio(xc, yc, zc, com, radius, tile,
                            src_tile=src_tile)                   # (K_t, K_s)
     _, near_idx = lax.top_k(ratio, max_near)                    # (K_t, M)
     near_idx = near_idx.astype(i32)
@@ -1083,19 +1142,34 @@ def _near_flat_kernel(ctgt_ref, fsrc_ref, rows_ref, acc_ref, *refs,
 def _near_field_flat(pos, tiles, flat_src, chunk_tgt, *, eps2: float,
                      c2: float, tile: int, src_tile: int, interpret: bool,
                      seg_budget: int = _SEG_PREFETCH_INT32):
-    """Mean-bound exact near field, (N, 3).
+    """Mean-bound exact near field, (N, 3) (see the columnar core)."""
+    acc = _near_field_flat_cols(
+        *_cols(pos), tiles, flat_src, chunk_tgt, eps2=eps2, c2=c2,
+        tile=tile, src_tile=src_tile, interpret=interpret,
+        seg_budget=seg_budget)
+    return acc[:pos.shape[0], :3]
+
+
+def _near_field_flat_cols(xc, yc, zc, tiles, flat_src, chunk_tgt, *,
+                          eps2: float, c2: float, tile: int, src_tile: int,
+                          interpret: bool,
+                          seg_budget: int = _SEG_PREFETCH_INT32):
+    """Mean-bound exact near field: ((K_t + 1) * tile, 8) raw accumulator
+    (columns 0..2 are the acceleration; the trailing ``tile`` rows are the
+    sentinel target's scratch).
 
     ``tiles`` is the (K_s + 1, 4, S) componentwise source array (sentinel
     zero row last, mass pre-scaled by G*c^3). Segmented so each call's
     scalar prefetch (chunk tags + entry indices) fits SMEM; the
     accumulator output is aliased through the segments.
     """
-    n = pos.shape[0]
+    n = xc.shape[0]
     k_t = n // tile
     entries = CHUNK_LANES // src_tile
     f32 = jnp.float32
     n_chunks = chunk_tgt.shape[0]
-    rows = jnp.concatenate([pos, jnp.zeros((n, 1), f32)], axis=1)
+    zero = jnp.zeros((n,), f32)
+    rows = jnp.stack([xc, yc, zc, zero], axis=1)                # (N, 4)
     rows = jnp.concatenate([rows, jnp.zeros((tile, 4), f32)], axis=0)
     acc = jnp.zeros(((k_t + 1) * tile, 8), f32)
 
@@ -1134,7 +1208,7 @@ def _near_field_flat(pos, tiles, flat_src, chunk_tgt, *, eps2: float,
         )(chunk_tgt[start:start + size],
           flat_src[start * entries:(start + size) * entries],
           rows, acc, *([tiles] * entries))
-    return acc[:n, :3]
+    return acc
 
 
 @functools.partial(
@@ -1168,13 +1242,39 @@ def treecode_acc_flat(
     VIP rows both ways); cost is mean-bound instead of max-bound and the
     near panels stream straight from HBM.
     """
-    n = pos.shape[0]
+    ax, ay, az = treecode_acc_flat_cols(
+        *_cols(pos), mass, aux_flat, eps2=eps2, compensate=compensate,
+        G=G, tile=tile, src_tile=src_tile, theta=theta, max_near=max_near,
+        vip_tiles=vip_tiles, interpret=interpret)
+    return jnp.stack([ax, ay, az], axis=1)
+
+
+def treecode_acc_flat_cols(
+    xc, yc, zc, mass, aux_flat,
+    *,
+    eps2: float,
+    compensate: float = 0.1,
+    G: float = 1.0,
+    tile: int = DEFAULT_TILE,
+    src_tile: int = DEFAULT_SRC_TILE,
+    theta: float = DEFAULT_THETA,
+    max_near: int = DEFAULT_MAX_NEAR,
+    vip_tiles: int = DEFAULT_VIP_TILES,
+    interpret: bool | None = None,
+):
+    """Columnar core of :func:`treecode_acc_flat`: (N,) coordinate columns
+    in, (ax, ay, az) columns out. The scanned run carries columns so no
+    (N, 3) array is ever materialized per step (measured ~12x cheaper per
+    elementwise op than the lane-padded (N, 3) layout)."""
+    n = xc.shape[0]
     k_t, k_s, _, max_near, vip_src = _flat_static(
         n, tile, src_tile, theta, max_near, vip_tiles)
     c2 = compensate * compensate
     gc3 = G * c2 * compensate
     f32 = jnp.float32
-    pos = pos.astype(f32)
+    xc = xc.astype(f32)
+    yc = yc.astype(f32)
+    zc = zc.astype(f32)
     mass = mass.astype(f32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1192,30 +1292,37 @@ def treecode_acc_flat(
     else:
         mass_tree = mass
 
-    com, m_tot, _, quad = tile_summaries(pos, mass_tree, src_tile)
+    com, m_tot, _, quad = tile_summaries_cols(xc, yc, zc, mass_tree,
+                                              src_tile)
     scaled = mass_tree * f32(gc3)
     tiles = jnp.stack(
-        [pos[:, 0].reshape(k_s, src_tile), pos[:, 1].reshape(k_s, src_tile),
-         pos[:, 2].reshape(k_s, src_tile), scaled.reshape(k_s, src_tile)],
+        [xc.reshape(k_s, src_tile), yc.reshape(k_s, src_tile),
+         zc.reshape(k_s, src_tile), scaled.reshape(k_s, src_tile)],
         axis=1,
     )
     tiles = jnp.concatenate([tiles, jnp.zeros((1, 4, src_tile), f32)],
                             axis=0)                         # + sentinel row
-    acc = _near_field_flat(pos, tiles, flat_src, chunk_tgt, eps2=eps2,
-                           c2=c2, tile=tile, src_tile=src_tile,
-                           interpret=interpret)
-    acc = acc + _far_field_pallas(pos, com, m_tot, quad, near_mask,
+    accn = _near_field_flat_cols(xc, yc, zc, tiles, flat_src, chunk_tgt,
+                                 eps2=eps2, c2=c2, tile=tile,
+                                 src_tile=src_tile, interpret=interpret)
+    accf = _far_field_pallas_cols(xc, yc, zc, com, m_tot, quad, near_mask,
                                   eps2=eps2, c2=c2, G=G, tile=tile,
                                   interpret=interpret)
+    ax = accn[:n, 0] + accf[:, 0]
+    ay = accn[:n, 1] + accf[:, 1]
+    az = accn[:n, 2] + accf[:, 2]
     if vip_src:
         scaled_all = mass * f32(gc3)
-        action, acc_vip = _vip_both_pallas(
-            pos, scaled_all, pos[vip_body_idx], scaled_all[vip_body_idx],
+        action, react = _vip_both_pallas_cols(
+            xc, yc, zc, scaled_all,
+            xc[vip_body_idx], yc[vip_body_idx], zc[vip_body_idx],
+            scaled_all[vip_body_idx],
             eps2=eps2, c2=c2, interpret=interpret,
         )
-        acc = acc + action
-        acc = acc.at[vip_body_idx].set(acc_vip)
-    return acc
+        ax = (ax + action[:, 0]).at[vip_body_idx].set(react[0, :])
+        ay = (ay + action[:, 1]).at[vip_body_idx].set(react[1, :])
+        az = (az + action[:, 2]).at[vip_body_idx].set(react[2, :])
+    return ax, ay, az
 
 
 @functools.partial(
@@ -1272,7 +1379,7 @@ def treecode_acc(
     else:
         mass_tree = mass
 
-    com, m_tot, _, quad = tile_summaries(pos, mass_tree, tile)
+    com, m_tot, _, quad = tile_summaries_cols(*_cols(pos), mass_tree, tile)
 
     scaled_tree_mass = mass_tree * f32(gc3)
     if use_pallas:

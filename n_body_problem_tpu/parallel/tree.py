@@ -166,7 +166,7 @@ def make_sharded_treecode_run(
 
             # ---- acceptance for the LOCAL target tiles (+ global VIP)
             if vip_tiles:
-                radius_raw = _tile_radius(pos_g, mass_g, tile)
+                radius_raw = _tile_radius(pos_g[:, 0], pos_g[:, 1], pos_g[:, 2], mass_g, tile)
                 _, vip_idx = lax.top_k(radius_raw, vip_tiles)
                 is_vip_tile = jnp.zeros((k_global,), bool).at[vip_idx].set(True)
                 is_vip_g = jnp.repeat(is_vip_tile, tile)
@@ -258,7 +258,7 @@ def make_sharded_treecode_force(cfg: SimConfig, mesh: Mesh,
         pos_g = lax.all_gather(pos_l, axis_name, tiled=True)
         mass_g = lax.all_gather(mass_l, axis_name, tiled=True)
         if vip_tiles:
-            radius_raw = _tile_radius(pos_g, mass_g, tile)
+            radius_raw = _tile_radius(pos_g[:, 0], pos_g[:, 1], pos_g[:, 2], mass_g, tile)
             _, vip_idx = lax.top_k(radius_raw, vip_tiles)
             is_vip_g = jnp.repeat(
                 jnp.zeros((k_global,), bool).at[vip_idx].set(True), tile)

@@ -59,11 +59,11 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
     """
     from n_body_problem_tpu.ops.treecode import (
         build_tree,
-        build_tree_flat,
+        build_tree_flat_cols,
         treecode_acc,
-        treecode_acc_flat,
+        treecode_acc_flat_cols,
     )
-    from n_body_problem_tpu.utils.morton import device_resort
+    from n_body_problem_tpu.utils.morton import device_resort, resort_cols
 
     r = cfg.tree_rebuild_every
     sel = dict(tile=cfg.tree_tile, theta=cfg.tree_theta,
@@ -71,18 +71,87 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
     flat_cap = cfg.tree_flat_cap
     src = cfg.tree_src_tile
+    dt = cfg.dt
+
+    if flat_cap > 0:
+        # Columnar fast path: the whole run carries twelve (N,) columns
+        # (x y z vx vy vz ax ay az mass eps ids) — never an (N, 3) array.
+        # Measured at N=262k on v5e: the lane-padded (N, 3) layout costs
+        # ~5 ms per elementwise op (the Euler update alone was 21.8
+        # ms/step) and the argsort+gather resort 59 ms; columns cut the
+        # update to ~2 ms and the fused multi-operand-sort resort to 7.6.
+        def chunk_cols(cols, length: int, n_real: int):
+            cols = resort_cols(cols, n_real)
+            x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols
+            aux = build_tree_flat_cols(x, y, z, m, src_tile=src,
+                                       slack=cfg.tree_near_slack,
+                                       flat_cap=flat_cap, **sel)
+
+            def force(px, py, pz):
+                return treecode_acc_flat_cols(px, py, pz, m, aux,
+                                              src_tile=src, **kw)
+
+            if cfg.integrator == "semi_implicit_euler":
+                def body(c, _):
+                    x, y, z, vx, vy, vz, ax, ay, az = c
+                    ax, ay, az = force(x, y, z)
+                    vx = vx + ax * dt
+                    vy = vy + ay * dt
+                    vz = vz + az * dt
+                    return (x + vx * dt, y + vy * dt, z + vz * dt,
+                            vx, vy, vz, ax, ay, az), None
+            else:  # leapfrog KDK, stored-acceleration form
+                half = 0.5 * dt
+
+                def body(c, _):
+                    x, y, z, vx, vy, vz, ax, ay, az = c
+                    vx = vx + ax * half
+                    vy = vy + ay * half
+                    vz = vz + az * half
+                    x = x + vx * dt
+                    y = y + vy * dt
+                    z = z + vz * dt
+                    ax, ay, az = force(x, y, z)
+                    return (x, y, z, vx + ax * half, vy + ay * half,
+                            vz + az * half, ax, ay, az), None
+
+            carry, _ = lax.scan(body, (x, y, z, vx, vy, vz, ax, ay, az),
+                                length=length)
+            return carry + (m, eps, ids)
+
+        def run(state: SimState, _step_fn, n_steps: int):
+            ids = jnp.arange(state.n, dtype=jnp.int32)
+            cols = (state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+                    state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+                    state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
+                    state.mass, state.eps, ids)
+            n_real = state.n_real
+            full, rem = divmod(n_steps, r)
+            if full:
+                def outer(c, _):
+                    return chunk_cols(c, r, n_real), None
+
+                cols, _ = lax.scan(outer, cols, length=full)
+            if rem:
+                cols = chunk_cols(cols, rem, n_real)
+            x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols
+            out = SimState(
+                pos=jnp.stack([x, y, z], axis=1),
+                vel=jnp.stack([vx, vy, vz], axis=1),
+                acc=jnp.stack([ax, ay, az], axis=1),
+                mass=m, eps=eps,
+                time=state.time + n_steps * jnp.asarray(dt, state.time.dtype),
+                step=state.step + n_steps,
+                n_real=n_real,
+            )
+            return out, ids
+
+        return run
 
     def chunk(state: SimState, ids: jax.Array, length: int):
         state, ids = device_resort(state, ids)
-        if flat_cap > 0:
-            aux = build_tree_flat(state.pos, state.mass, src_tile=src,
-                                  slack=cfg.tree_near_slack,
-                                  flat_cap=flat_cap, **sel)
-            force = lambda pos, mass: treecode_acc_flat(
-                pos, mass, aux, src_tile=src, **kw)
-        else:
-            aux = build_tree(state.pos, state.mass, **sel)
-            force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
+        aux = build_tree(state.pos, state.mass, **sel)
+        force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
         step = make_integrator(cfg.integrator, force, cfg.dt)
         return run_steps(state, step, length), ids
 
