@@ -145,6 +145,7 @@ def main() -> None:
     # 32-step windows: the sandbox relay has a ~20-90 ms fixed dispatch
     # cost per run() call; an 8-step window inflated ms/step by ~10%.
     tree = bench_config(262144, "treecode", steps=args.steps or 32)
+    tree65 = bench_config(65536, "treecode", steps=args.steps or 128)
     exact = bench_config(65536, "pallas_symmetric", steps=args.steps or 16)
     ms_render = bench_render(65536, "pallas_symmetric")
 
@@ -159,6 +160,10 @@ def main() -> None:
         "force_err_median": tree.get("force_err_median"),
         "n": tree["n"],
         "solver": "treecode",
+        "tree_pairs_per_sec_65k": tree65["pairs_per_sec"],
+        "tree_ms_per_step_65k": tree65["ms_per_step"],
+        "tree_vs_baseline_65k": tree65["pairs_per_sec"] / BASELINE,
+        "tree_force_err_p99_65k": tree65.get("force_err_p99"),
         "exact_pairs_per_sec_65k": exact["pairs_per_sec"],
         "exact_ms_per_step_65k": exact["ms_per_step"],
         "exact_vs_baseline": exact["pairs_per_sec"] / BASELINE,

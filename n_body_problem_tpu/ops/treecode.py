@@ -1000,6 +1000,20 @@ def build_tree_flat_cols(
     com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, src_tile)
     ratio = _opening_ratio(xc, yc, zc, com, radius, tile,
                            src_tile=src_tile)                   # (K_t, K_s)
+    flat_src, chunk_tgt, near_mask = _compact_open_lists(
+        ratio, theta, slack, flat_cap, entries, max_near)
+    return flat_src, chunk_tgt, near_mask, is_vip_body
+
+
+def _compact_open_lists(ratio, theta, slack, flat_cap, entries, max_near):
+    """Compact per-row opening ratios into the flat work lists:
+    (flat_src (flat_cap,), chunk_tgt (flat_cap/E,), near_mask (K_t, K_s)).
+
+    ``ratio`` rows may be a LOCAL slice of the global target rows (the
+    sharded path builds per-chip lists); columns span all sources.
+    """
+    k_t, k_s = ratio.shape
+    i32 = jnp.int32
     _, near_idx = lax.top_k(ratio, max_near)                    # (K_t, M)
     near_idx = near_idx.astype(i32)
     cnt = jnp.sum(ratio > theta, axis=1).astype(i32)            # (K_t,)
@@ -1054,7 +1068,7 @@ def build_tree_flat_cols(
         .at[slot_rows, flat_src]
         .max(jnp.ones((flat_cap,), bool), mode="drop")
     )
-    return flat_src, chunk_tgt, near_mask, is_vip_body
+    return flat_src, chunk_tgt, near_mask
 
 
 def suggest_flat_cap(pos, mass, *, tile: int = DEFAULT_TILE,
@@ -1081,6 +1095,38 @@ def suggest_flat_cap(pos, mass, *, tile: int = DEFAULT_TILE,
     need = int(math.ceil(float(v.sum()) * margin))
     k_t = max(pos.shape[0] // tile, 1)
     need = max(need, k_t * entries)    # >= one chunk per target row
+    return ((need + entries - 1) // entries) * entries
+
+
+def suggest_flat_cap_sharded(pos, mass, n_dev: int, *,
+                             tile: int = DEFAULT_TILE,
+                             src_tile: int = DEFAULT_SRC_TILE,
+                             theta: float = DEFAULT_THETA,
+                             vip_tiles: int = DEFAULT_VIP_TILES,
+                             slack: int = DEFAULT_NEAR_SLACK,
+                             margin: float = 1.4) -> int:
+    """Static PER-CHIP flat-list capacity when target rows are sharded
+    over ``n_dev`` chips (host-side).
+
+    Each chip owns a contiguous row block; the core chips' blocks open
+    more tiles than the halo chips', so the shared static capacity is the
+    worst block's demand. ``margin`` is higher than the single-chip 1.25
+    because per-block imbalance drifts as the system evolves.
+    """
+    counts = np.asarray(open_counts(
+        jnp.asarray(pos), jnp.asarray(mass),
+        tile=tile, theta=theta, vip_tiles=vip_tiles, src_tile=src_tile,
+    ))
+    entries = CHUNK_LANES // src_tile
+    v = np.maximum(
+        ((counts + slack + entries - 1) // entries) * entries, entries,
+    )
+    k_t = len(v)
+    if k_t % n_dev:
+        raise ValueError(f"K_t={k_t} not divisible by n_dev={n_dev}")
+    per_chip = v.reshape(n_dev, k_t // n_dev).sum(axis=1)
+    need = int(math.ceil(float(per_chip.max()) * margin))
+    need = max(need, (k_t // n_dev) * entries)
     return ((need + entries - 1) // entries) * entries
 
 
@@ -1209,6 +1255,114 @@ def _near_field_flat_cols(xc, yc, zc, tiles, flat_src, chunk_tgt, *,
           flat_src[start * entries:(start + size) * entries],
           rows, acc, *([tiles] * entries))
     return acc
+
+
+# ---------------------------------------------------- sharded flat helpers
+def _flat_src_static(n_g: int, tile: int, src_tile: int,
+                     max_near: int, vip_tiles: int):
+    """(k_s, entries, max_near, vip_src) for a GLOBAL source population
+    (the sharded path validates rows and sources separately)."""
+    if n_g % src_tile:
+        raise ValueError(f"flat treecode: global N={n_g} must be a "
+                         f"multiple of src_tile={src_tile}")
+    k_s = n_g // src_tile
+    entries = CHUNK_LANES // src_tile
+    if k_s < entries:
+        raise ValueError(f"flat path needs K_src >= {entries}")
+    max_near = max(-(-max_near // entries) * entries, entries)
+    max_near = min(max_near, k_s - (k_s % entries) or k_s)
+    vip_src = _clamp_vip(_vip_src_tiles(vip_tiles, tile, src_tile), k_s)
+    return k_s, entries, max_near, vip_src
+
+
+def build_flat_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
+                     src_tile: int, theta: float, max_near: int,
+                     vip_tiles: int, slack: int, flat_cap: int,
+                     row_offset):
+    """Flat acceptance for LOCAL target rows against GLOBAL sources
+    (inside shard_map: every chip computes the identical global VIP split
+    and source summaries from replicated columns, then compacts work
+    lists for its own contiguous row block only).
+
+    Returns ``(flat_src, chunk_tgt, near_mask (K_t_local, K_s_global),
+    is_vip_g (N_global,))``; ``flat_cap`` is the PER-CHIP capacity.
+    """
+    n_g = xg.shape[0]
+    k_s, entries, max_near, vip_src = _flat_src_static(
+        n_g, tile, src_tile, max_near, vip_tiles)
+    if vip_src:
+        mass_tree_g, _, is_vip_g = _vip_split(xg, yg, zg, mass_g,
+                                              src_tile, vip_src)
+    else:
+        is_vip_g = jnp.zeros((n_g,), bool)
+        mass_tree_g = mass_g
+    com, _, radius, _ = tile_summaries_cols(xg, yg, zg, mass_tree_g,
+                                            src_tile)
+    ratio = _opening_ratio(xl, yl, zl, com, radius, tile,
+                           row_offset=row_offset, src_tile=src_tile)
+    flat_src, chunk_tgt, near_mask = _compact_open_lists(
+        ratio, theta, slack, flat_cap, entries, max_near)
+    return flat_src, chunk_tgt, near_mask, is_vip_g
+
+
+def flat_local_acc(xl, yl, zl, ml, xg, yg, zg, mass_g, aux, *, eps2: float,
+                   compensate: float, G: float, tile: int, src_tile: int,
+                   max_near: int, vip_tiles: int, interpret: bool):
+    """Columnar flat treecode acc of LOCAL rows from replicated GLOBAL
+    sources: ``(axl, ayl, azl, react (8, W) | None, vip_body_idx | None)``.
+
+    ``react`` is this chip's partial pull on the global VIP panel — the
+    caller must ``psum`` it over the mesh axis and overwrite the VIP rows
+    it owns with ``react[0:3]`` (see parallel/tree.py). Physics identical
+    to :func:`treecode_acc_flat_cols` restricted to local target rows.
+    """
+    flat_src, chunk_tgt, near_mask, is_vip_g = aux
+    n_g = xg.shape[0]
+    k_s, _, _, vip_src = _flat_src_static(n_g, tile, src_tile, max_near,
+                                          vip_tiles)
+    c2 = compensate * compensate
+    gc3 = G * c2 * compensate
+    f32 = jnp.float32
+    n_l = xl.shape[0]
+    mass_tree_g = jnp.where(is_vip_g, 0.0, mass_g) if vip_src else mass_g
+    com, m_tot, _, quad = tile_summaries_cols(xg, yg, zg, mass_tree_g,
+                                              src_tile)
+    scaled_g = mass_tree_g * f32(gc3)
+    tiles = jnp.stack(
+        [xg.reshape(k_s, src_tile), yg.reshape(k_s, src_tile),
+         zg.reshape(k_s, src_tile), scaled_g.reshape(k_s, src_tile)],
+        axis=1,
+    )
+    tiles = jnp.concatenate([tiles, jnp.zeros((1, 4, src_tile), f32)],
+                            axis=0)
+    accn = _near_field_flat_cols(xl, yl, zl, tiles, flat_src, chunk_tgt,
+                                 eps2=eps2, c2=c2, tile=tile,
+                                 src_tile=src_tile, interpret=interpret)
+    accf = _far_field_pallas_cols(xl, yl, zl, com, m_tot, quad, near_mask,
+                                  eps2=eps2, c2=c2, G=G, tile=tile,
+                                  interpret=interpret)
+    ax = accn[:n_l, 0] + accf[:, 0]
+    ay = accn[:n_l, 1] + accf[:, 1]
+    az = accn[:n_l, 2] + accf[:, 2]
+    if not vip_src:
+        return ax, ay, az, None, None
+    vip_tile_idx = jnp.nonzero(
+        is_vip_g.reshape(k_s, src_tile)[:, 0], size=vip_src, fill_value=0,
+    )[0]
+    vip_body_idx = (vip_tile_idx[:, None] * src_tile
+                    + jnp.arange(src_tile, dtype=jnp.int32)[None, :]
+                    ).reshape(-1)
+    scaled_all_g = mass_g * f32(gc3)
+    action, react = _vip_both_pallas_cols(
+        xl, yl, zl, ml * f32(gc3),
+        xg[vip_body_idx], yg[vip_body_idx], zg[vip_body_idx],
+        scaled_all_g[vip_body_idx],
+        eps2=eps2, c2=c2, interpret=interpret,
+    )
+    ax = ax + action[:, 0]
+    ay = ay + action[:, 1]
+    az = az + action[:, 2]
+    return ax, ay, az, react, vip_body_idx
 
 
 @functools.partial(

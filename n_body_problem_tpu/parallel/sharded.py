@@ -104,7 +104,11 @@ class ShardedSimulation:
 
         import numpy as _np
 
-        from n_body_problem_tpu.ops.treecode import suggest_max_near
+        from n_body_problem_tpu.ops.treecode import (
+            CHUNK_LANES,
+            suggest_flat_cap_sharded,
+            suggest_max_near,
+        )
         from n_body_problem_tpu.parallel.tree import (
             make_sharded_treecode_force,
             make_sharded_treecode_run,
@@ -119,11 +123,30 @@ class ShardedSimulation:
         real = unpad_state(state) if state.n != state.n_real else state
         init_perm = morton_argsort(_np.asarray(real.pos))
         state = apply_permutation(real, init_perm)
-        state = pad_state(state, multiple=_math.lcm(n_dev * cfg.tree_tile, 256))
+        state = pad_state(state, multiple=_math.lcm(
+            n_dev * cfg.tree_tile, cfg.tree_src_tile, 256))
+        # Flat (mean-bound columnar) path: the TPU production
+        # configuration, mirroring Simulation.__init__'s auto-enable.
+        use_flat = (
+            cfg.tree_flat_cap == 0
+            and jax.default_backend() == "tpu"
+            and state.n >= CHUNK_LANES
+            and state.n % cfg.tree_src_tile == 0
+            and (state.n // cfg.tree_tile) % n_dev == 0
+        )
+        src = (cfg.tree_src_tile
+               if use_flat or cfg.tree_flat_cap > 0 else None)
         if cfg.tree_max_near == 0:
             cfg = cfg.replace(tree_max_near=suggest_max_near(
                 state.pos, state.mass, tile=cfg.tree_tile,
                 theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                src_tile=src,
+            ))
+        if use_flat:
+            cfg = cfg.replace(tree_flat_cap=suggest_flat_cap_sharded(
+                state.pos, state.mass, n_dev, tile=cfg.tree_tile,
+                src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
+                vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
             ))
         self.cfg = cfg
         self.state = shard_state(state, self.mesh)

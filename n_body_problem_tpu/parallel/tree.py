@@ -53,11 +53,13 @@ from n_body_problem_tpu.ops.treecode import (
     _vip_both_pallas,
     _dense_sweep,
     _clamp_vip,
+    build_flat_local,
+    flat_local_acc,
     tile_summaries,
 )
 from n_body_problem_tpu.parallel.mesh import RING_AXIS
 from n_body_problem_tpu.state import SimState
-from n_body_problem_tpu.utils.morton import morton_keys_device
+from n_body_problem_tpu.utils.morton import morton_keys_cols, morton_keys_device
 
 
 def _local_treecode_acc(pos_l, mass_l, pos_g, mass_g, aux, *,
@@ -120,6 +122,133 @@ def _local_treecode_acc(pos_l, mass_l, pos_g, mass_g, aux, *,
     return acc
 
 
+def _make_sharded_flat_run(cfg: SimConfig, mesh: Mesh,
+                           axis_name: str) -> Callable:
+    """Sharded counterpart of the single-chip COLUMNAR flat run
+    (``simulation.make_treecode_run`` with ``tree_flat_cap > 0``): each
+    chip carries twelve local (N/D,) columns, the global resort is one
+    redundant multi-operand ``lax.sort`` of the gathered columns (every
+    chip computes the identical result and slices its own row block — a
+    distributed sort with no sort-specific communication), and the force
+    is ``flat_local_acc`` (mean-bound compacted near lists for the LOCAL
+    rows, replicated sources, psum'd VIP reactions)."""
+    tile = cfg.tree_tile
+    src = cfg.tree_src_tile
+    r = cfg.tree_rebuild_every
+    dt = cfg.dt
+    interpret = jax.default_backend() != "tpu"
+    sel = dict(tile=tile, src_tile=src, theta=cfg.tree_theta,
+               max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
+    akw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
+               tile=tile, src_tile=src, max_near=cfg.tree_max_near,
+               vip_tiles=cfg.tree_vip_tiles, interpret=interpret)
+    flat_cap = cfg.tree_flat_cap
+
+    def local_run(*args):
+        *cols_l, n_real, n_steps = args
+        cols_l = tuple(cols_l)
+        me = lax.axis_index(axis_name)
+        n_l = cols_l[0].shape[0]
+        k_t_l = n_l // tile
+
+        def gather(c):
+            return lax.all_gather(c, axis_name, tiled=True)
+
+        def chunk(cols_l, length):
+            # ---- global columnar resort: all chips sort the identical
+            # gathered columns (the permutation rides the sort network),
+            # then slice their own contiguous row block.
+            gl = tuple(gather(c) for c in cols_l)
+            key = morton_keys_cols(gl[0], gl[1], gl[2], n_real)
+            srt = lax.sort((key,) + gl, num_keys=1, is_stable=True)[1:]
+            cols_l = tuple(
+                lax.dynamic_slice(c, (me * n_l,), (n_l,)) for c in srt)
+            x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols_l
+            xg, yg, zg, mg = srt[0], srt[1], srt[2], srt[9]
+            aux = build_flat_local(
+                x, y, z, xg, yg, zg, mg, slack=cfg.tree_near_slack,
+                flat_cap=flat_cap, row_offset=me * k_t_l, **sel)
+
+            def force(px, py, pz):
+                pxg, pyg, pzg = gather(px), gather(py), gather(pz)
+                axl, ayl, azl, react, vip_idx = flat_local_acc(
+                    px, py, pz, m, pxg, pyg, pzg, mg, aux, **akw)
+                if react is not None:
+                    react = lax.psum(react, axis_name)   # (8, W) complete
+                    rel = vip_idx - me * n_l
+                    dest = jnp.where((rel >= 0) & (rel < n_l), rel, n_l)
+                    axl = axl.at[dest].set(react[0], mode="drop")
+                    ayl = ayl.at[dest].set(react[1], mode="drop")
+                    azl = azl.at[dest].set(react[2], mode="drop")
+                return axl, ayl, azl
+
+            if cfg.integrator == "leapfrog":
+                half = 0.5 * dt
+
+                def body(c, _):
+                    x, y, z, vx, vy, vz, ax, ay, az = c
+                    vx = vx + ax * half
+                    vy = vy + ay * half
+                    vz = vz + az * half
+                    x = x + vx * dt
+                    y = y + vy * dt
+                    z = z + vz * dt
+                    ax, ay, az = force(x, y, z)
+                    return (x, y, z, vx + ax * half, vy + ay * half,
+                            vz + az * half, ax, ay, az), None
+            else:
+                def body(c, _):
+                    x, y, z, vx, vy, vz, ax, ay, az = c
+                    ax, ay, az = force(x, y, z)
+                    vx = vx + ax * dt
+                    vy = vy + ay * dt
+                    vz = vz + az * dt
+                    return (x + vx * dt, y + vy * dt, z + vz * dt,
+                            vx, vy, vz, ax, ay, az), None
+
+            carry, _ = lax.scan(body, (x, y, z, vx, vy, vz, ax, ay, az),
+                                length=length)
+            return carry + (m, eps, ids)
+
+        full, rem = divmod(n_steps, r)
+        if full:
+            cols_l, _ = lax.scan(lambda c, _: (chunk(c, r), None),
+                                 cols_l, length=full)
+        if rem:
+            cols_l = chunk(cols_l, rem)
+        return cols_l
+
+    row = P(axis_name)
+    sharded = jax.shard_map(
+        local_run, mesh=mesh,
+        in_specs=(row,) * 12 + (P(), None),
+        out_specs=(row,) * 12,
+        check_vma=False,
+    )
+
+    def run(state: SimState, n_steps: int):
+        ids = jnp.arange(state.n, dtype=jnp.int32)
+        out = sharded(
+            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+            state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
+            state.mass, state.eps, ids,
+            jnp.asarray(state.n_real, jnp.int32), n_steps,
+        )
+        x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = out
+        new = SimState(
+            pos=jnp.stack([x, y, z], axis=1),
+            vel=jnp.stack([vx, vy, vz], axis=1),
+            acc=jnp.stack([ax, ay, az], axis=1),
+            mass=m, eps=eps,
+            time=state.time + jnp.asarray(n_steps * dt, state.time.dtype),
+            step=state.step + n_steps, n_real=state.n_real,
+        )
+        return new, ids
+
+    return run
+
+
 def make_sharded_treecode_run(
     cfg: SimConfig,
     mesh: Mesh,
@@ -127,7 +256,12 @@ def make_sharded_treecode_run(
 ) -> Callable:
     """``(sharded SimState, n_steps) -> (SimState, ids)`` — the multi-chip
     counterpart of ``simulation.make_treecode_run`` (chunked global resort
-    + cached local acceptance + scanned steps, all inside shard_map)."""
+    + cached local acceptance + scanned steps, all inside shard_map).
+    With ``cfg.tree_flat_cap > 0`` the columnar mean-bound flat machinery
+    runs per chip (the TPU production path, see ``_make_sharded_flat_run``);
+    otherwise the dense max-bound path below."""
+    if cfg.tree_flat_cap > 0:
+        return _make_sharded_flat_run(cfg, mesh, axis_name)
     tile = cfg.tree_tile
     r = cfg.tree_rebuild_every
     dt = cfg.dt

@@ -235,3 +235,33 @@ def test_sharded_treecode_leapfrog_and_energy(mesh):
     d = ssim.diagnostics()
     assert abs((d["energy"] - e0) / e0) < 2e-3
     assert d["overspeed"] == 0
+
+
+def test_sharded_flat_treecode_matches_single_chip(mesh):
+    """The sharded FLAT (mean-bound columnar) treecode — per-chip
+    compacted work lists, replicated sources, multi-operand-sort global
+    resort — must reproduce the single-chip flat run: identical sort,
+    identical per-row acceptance (the compaction is row-local), psum'd
+    VIP reactions. Agreement to kernel rounding."""
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+
+    n = 4096
+    # Capacity = K_t * max_near on both sides: no overflow anywhere, so
+    # the per-chip (sharded) and whole-population (single-chip) lists
+    # cover identical open sets row by row.
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8,
+                    tree_rebuild_every=4, tree_src_tile=64,
+                    tree_max_near=64, tree_flat_cap=(n // 32) * 64)
+    ssim = ShardedSimulation(cfg, models.plummer(n, seed=43), mesh,
+                             strategy="treecode")
+    ssim.run(8)
+    ref = __import__("n_body_problem_tpu").Simulation(
+        cfg, models.plummer(n, seed=43))
+    ref.run(8)
+    a = np.asarray(ssim.state.pos[:n])
+    b = np.asarray(ref.state.pos[:n])
+    inv_a = np.empty(n, int); inv_a[ssim.sort_perm] = np.arange(n)
+    inv_b = np.empty(n, int); inv_b[ref.sort_perm] = np.arange(n)
+    np.testing.assert_allclose(a[inv_a], b[inv_b], rtol=5e-4, atol=5e-5)
+    d = ssim.diagnostics()
+    assert d["overspeed"] == 0 and np.isfinite(d["energy"])
