@@ -67,7 +67,14 @@ class SimConfig:
                                # bookkeeping, thicken the exact near shell;
                                # 64 measured fastest at N=262k with p99
                                # error equal to 128's on the same state)
-    tree_theta: float = 0.55   # Barnes-Hut opening angle (p99 force err ~8e-4 measured)
+    tree_theta: float = 0.55   # geometric opening angle (used when
+                               # tree_mac_tau == 0)
+    tree_mac_tau: float = 2e-4 # mass-aware MAC tolerance: open a source
+                               # tile iff its estimated quadrupole-
+                               # truncation error exceeds tau x the median
+                               # body acceleration. ~2x more accurate than
+                               # the theta test at matched cost (measured);
+                               # 0 falls back to the geometric criterion.
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
                                # (in source tiles on the flat path)
     tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
@@ -113,6 +120,8 @@ class SimConfig:
             raise ValueError(f"tree_theta must be in (0, 1], got {self.tree_theta}")
         if self.tree_max_near < 0 or self.tree_vip_tiles < 0:
             raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
+        if self.tree_mac_tau < 0:
+            raise ValueError(f"tree_mac_tau must be >= 0, got {self.tree_mac_tau}")
         if self.tree_src_tile % self.tree_tile:
             raise ValueError(
                 f"tree_src_tile ({self.tree_src_tile}) must be a multiple "

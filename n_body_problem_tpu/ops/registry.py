@@ -94,13 +94,16 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
             def flat_force(pos, mass):
                 aux = treecode.build_tree_flat(
                     pos, mass, slack=cfg.tree_near_slack,
-                    flat_cap=cfg.tree_flat_cap, **sel)
+                    flat_cap=cfg.tree_flat_cap,
+                    mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                    compensate=cfg.compensate, **sel)
                 return treecode.treecode_acc_flat(pos, mass, aux, **kw, **sel)
 
             return flat_force
         return lambda pos, mass: treecode.treecode_acc(
             pos, mass, tile=cfg.tree_tile, theta=cfg.tree_theta,
-            max_near=max_near, vip_tiles=cfg.tree_vip_tiles, **kw
+            max_near=max_near, vip_tiles=cfg.tree_vip_tiles,
+            mac_tau=cfg.tree_mac_tau, **kw
         )
     if solver == "pair_matrix":
         from n_body_problem_tpu.ops import pair_matrix

@@ -77,6 +77,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 32
 DEFAULT_THETA = 0.55
+DEFAULT_MAC_TAU = 2e-4    # mass-aware MAC tolerance (see _opening_scores);
+                          # 0 selects the geometric theta criterion
+MAC_REF_KSRC = 4096       # tau calibration point: the effective threshold
+                          # is tau * sqrt(MAC_REF_KSRC / K_s), so the
+                          # aggregated (CLT, ~sqrt(K)) far-field error
+                          # envelope is N-independent — measured p99
+                          # 7.7e-4 at N=262k (K_s=4096) and 8.2e-4 at
+                          # N=65k (K_s=1024, effective tau 2x) with the
+                          # same tau=2e-4
 DEFAULT_MAX_NEAR = 416     # fallback when suggest_max_near wasn't consulted
 DEFAULT_VIP_TILES = 128
 
@@ -210,6 +219,70 @@ def _vip_split(xc, yc, zc, mass, tile: int, vip_tiles: int):
 
 
 # -------------------------------------------------------------- acceptance
+def _median_monopole_acc(xc, yc, zc, com, m_tot, *, eps2, c2):
+    """Median per-G acceleration magnitude of a body sample, estimated
+    from monopole tile summaries: the MAC normalization scale.
+
+    Cheap (sample x K_s matrix), deterministic, self-contained — the same
+    estimate on every chip of a mesh (global summaries), at init, and at
+    every rebuild, so the acceptance criterion never depends on carried
+    state. Accuracy ~theta-level, which is plenty for a SCALE.
+    """
+    n = xc.shape[0]
+    step = max(n // 2048, 1)
+    xs, ys, zs = xc[::step], yc[::step], zc[::step]
+    c3 = c2 * math.sqrt(c2)
+    dx = com[:, 0][None, :] - xs[:, None]               # (S, K)
+    dy = com[:, 1][None, :] - ys[:, None]
+    dz = com[:, 2][None, :] - zs[:, None]
+    r2 = dx * dx + dy * dy + dz * dz
+    u2 = 1.0 / (c2 * r2 + eps2)
+    w = m_tot[None, :] * u2 * jnp.sqrt(u2) * c3
+    ax = jnp.sum(w * dx, axis=1)
+    ay = jnp.sum(w * dy, axis=1)
+    az = jnp.sum(w * dz, axis=1)
+    return jnp.median(jnp.sqrt(ax * ax + ay * ay + az * az))
+
+
+def _opening_scores(xc, yc, zc, com, radius, m_tot, tile: int, *,
+                    theta: float, mac_tau: float, row_offset=0,
+                    src_tile: int | None = None, eps2: float = 1e-6,
+                    c2: float = 0.01):
+    """(scores (K_t, K_s), threshold) for the opening decision, self=inf.
+
+    ``mac_tau == 0``: the geometric Barnes-Hut test — score
+    radius_j / min-body-distance against ``theta``. ``mac_tau > 0``: the
+    mass-aware absolute-error MAC (Dehnen 2002's style): score
+    (m_j r_j^3 / d^5) / a_med against ``mac_tau`` (scaled by
+    sqrt(MAC_REF_KSRC / K_s) so the aggregated error envelope is
+    N-independent), where a_med is the median body acceleration estimated
+    from monopole summaries — i.e. open a tile iff its quadrupole-
+    truncation error would exceed the (scaled) tolerance times the median
+    acceleration. Measured on a Plummer sphere at matched open counts the
+    MAC is ~2x more accurate at p99 than the geometric test in the useful
+    range (heavy near-threshold tiles open, light far ones don't); it
+    also never opens massless padding tiles.
+    """
+    src_tile = src_tile or tile
+    f = src_tile // tile
+    k_t = xc.shape[0] // tile
+    k_s = com.shape[0]
+    min_d = jnp.maximum(_min_tile_dist(xc, yc, zc, com, tile), _TINY)
+    if mac_tau > 0:
+        a_med = jnp.maximum(
+            _median_monopole_acc(xc, yc, zc, com, m_tot, eps2=eps2, c2=c2),
+            _TINY)
+        d5 = jnp.square(jnp.square(min_d)) * min_d
+        score = (m_tot * radius * radius * radius)[None, :] / d5 / a_med
+        thresh = mac_tau * math.sqrt(MAC_REF_KSRC / k_s)
+    else:
+        score = radius[None, :] / min_d
+        thresh = theta
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 0) + row_offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k_t, k_s), 1)
+    return jnp.where(rows // f == cols, jnp.inf, score), thresh
+
+
 def _opening_ratio(xc, yc, zc, com, radius, tile: int, row_offset=0,
                    src_tile: int | None = None):
     """(K_t, K_s) opening ratios radius_j / min-body-distance, self = inf.
@@ -232,13 +305,22 @@ def _opening_ratio(xc, yc, zc, com, radius, tile: int, row_offset=0,
 
 
 def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int,
-                row_offset=0):
-    """Near lists from the per-body-union opening criterion.
+                row_offset=0, m_tot=None, mac_tau: float = 0.0,
+                eps2: float = 1e-6, c2: float = 0.01):
+    """Near lists from the per-body-union opening criterion (geometric
+    theta test, or the mass-aware MAC when ``mac_tau > 0`` — see
+    :func:`_opening_scores`).
 
     Returns (near_idx (K_t, M) int32, near_mask (K_t, K_s) bool).
     """
     k_s = com.shape[0]
-    ratio = _opening_ratio(*_cols(pos), com, radius, tile, row_offset)
+    xc, yc, zc = _cols(pos)
+    if mac_tau > 0:
+        ratio, theta = _opening_scores(
+            xc, yc, zc, com, radius, m_tot, tile, theta=theta,
+            mac_tau=mac_tau, row_offset=row_offset, eps2=eps2, c2=c2)
+    else:
+        ratio = _opening_ratio(xc, yc, zc, com, radius, tile, row_offset)
     _, near_idx = lax.top_k(ratio, max_near)                    # (K_t, M)
     near_mask = jnp.any(
         near_idx[:, :, None] == jnp.arange(k_s)[None, None, :], axis=1
@@ -247,11 +329,15 @@ def _acceptance(pos, com, radius, tile: int, theta: float, max_near: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "theta", "vip_tiles",
-                                              "src_tile"))
+                                              "src_tile", "mac_tau", "eps2",
+                                              "compensate"))
 def open_counts(pos, mass, *, tile: int = DEFAULT_TILE,
                 theta: float = DEFAULT_THETA,
                 vip_tiles: int = DEFAULT_VIP_TILES,
-                src_tile: int | None = None) -> jax.Array:
+                src_tile: int | None = None,
+                mac_tau: float = 0.0,
+                eps2: float = 1e-6,
+                compensate: float = 0.1) -> jax.Array:
     """Per-target-tile count of SOURCE tiles failing the far test (self
     included), after the VIP split. ``max_near`` must cover
     ``max(open_counts)`` for the theta-criterion to hold exactly;
@@ -266,9 +352,12 @@ def open_counts(pos, mass, *, tile: int = DEFAULT_TILE,
     mass_tree = mass
     if vip_src:
         mass_tree, _, _ = _vip_split(xc, yc, zc, mass, src_tile, vip_src)
-    com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, src_tile)
-    ratio = _opening_ratio(xc, yc, zc, com, radius, tile, src_tile=src_tile)
-    return jnp.sum(ratio > theta, axis=1)
+    com, m_tot, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree,
+                                                src_tile)
+    score, thresh = _opening_scores(
+        xc, yc, zc, com, radius, m_tot, tile, theta=theta, mac_tau=mac_tau,
+        src_tile=src_tile, eps2=eps2, c2=compensate * compensate)
+    return jnp.sum(score > thresh, axis=1)
 
 
 def _clamp_vip(vip_tiles: int, k: int) -> int:
@@ -292,6 +381,9 @@ def suggest_max_near(
     margin: float = 1.2,
     multiple: int = 32,
     src_tile: int | None = None,
+    mac_tau: float = 0.0,
+    eps2: float = 1e-6,
+    compensate: float = 0.1,
 ) -> int:
     """Static near-list capacity (in SOURCE tiles) for this distribution
     (host-side).
@@ -305,6 +397,7 @@ def suggest_max_near(
     counts = np.asarray(open_counts(
         jnp.asarray(pos), jnp.asarray(mass),
         tile=tile, theta=theta, vip_tiles=vip_tiles, src_tile=src_tile,
+        mac_tau=mac_tau, eps2=eps2, compensate=compensate,
     ))
     k = max(pos.shape[0] // (src_tile or tile), 1)
     need = int(math.ceil(float(counts.max()) * margin))
@@ -852,7 +945,8 @@ def _static_args(n, tile, theta, max_near, vip_tiles):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "theta", "max_near", "vip_tiles"),
+    static_argnames=("tile", "theta", "max_near", "vip_tiles", "mac_tau",
+                     "eps2", "compensate"),
 )
 def build_tree(
     pos: jax.Array,
@@ -862,6 +956,9 @@ def build_tree(
     theta: float = DEFAULT_THETA,
     max_near: int = DEFAULT_MAX_NEAR,
     vip_tiles: int = DEFAULT_VIP_TILES,
+    mac_tau: float = 0.0,
+    eps2: float = 1e-6,
+    compensate: float = 0.1,
 ):
     """Acceptance structures: (near_idx, near_mask, is_vip_body).
 
@@ -884,8 +981,10 @@ def build_tree(
     else:
         is_vip_body = jnp.zeros((n,), bool)
         mass_tree = mass
-    com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, tile)
-    near_idx, near_mask = _acceptance(pos, com, radius, tile, theta, max_near)
+    com, m_tot, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, tile)
+    near_idx, near_mask = _acceptance(
+        pos, com, radius, tile, theta, max_near, m_tot=m_tot,
+        mac_tau=mac_tau, eps2=eps2, c2=compensate * compensate)
     return near_idx, near_mask, is_vip_body
 
 
@@ -938,7 +1037,7 @@ def _flat_static(n, tile, src_tile, theta, max_near, vip_tiles):
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "src_tile", "theta", "max_near", "vip_tiles",
-                     "slack", "flat_cap"),
+                     "slack", "flat_cap", "mac_tau", "eps2", "compensate"),
 )
 def build_tree_flat(
     pos: jax.Array,
@@ -951,6 +1050,9 @@ def build_tree_flat(
     vip_tiles: int = DEFAULT_VIP_TILES,
     slack: int = DEFAULT_NEAR_SLACK,
     flat_cap: int,
+    mac_tau: float = 0.0,
+    eps2: float = 1e-6,
+    compensate: float = 0.1,
 ):
     """Compacted asymmetric acceptance structures.
 
@@ -967,7 +1069,8 @@ def build_tree_flat(
     return build_tree_flat_cols(
         *_cols(pos), mass, tile=tile, src_tile=src_tile, theta=theta,
         max_near=max_near, vip_tiles=vip_tiles, slack=slack,
-        flat_cap=flat_cap)
+        flat_cap=flat_cap, mac_tau=mac_tau, eps2=eps2,
+        compensate=compensate)
 
 
 def build_tree_flat_cols(
@@ -980,6 +1083,9 @@ def build_tree_flat_cols(
     vip_tiles: int = DEFAULT_VIP_TILES,
     slack: int = DEFAULT_NEAR_SLACK,
     flat_cap: int,
+    mac_tau: float = 0.0,
+    eps2: float = 1e-6,
+    compensate: float = 0.1,
 ):
     """Columnar core of :func:`build_tree_flat` ((N,) coordinate columns
     in; same outputs). The scanned run carries columns, so this avoids
@@ -999,11 +1105,13 @@ def build_tree_flat_cols(
     else:
         is_vip_body = jnp.zeros((n,), bool)
         mass_tree = mass
-    com, _, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree, src_tile)
-    ratio = _opening_ratio(xc, yc, zc, com, radius, tile,
-                           src_tile=src_tile)                   # (K_t, K_s)
+    com, m_tot, radius, _ = tile_summaries_cols(xc, yc, zc, mass_tree,
+                                                src_tile)
+    score, thresh = _opening_scores(
+        xc, yc, zc, com, radius, m_tot, tile, theta=theta, mac_tau=mac_tau,
+        src_tile=src_tile, eps2=eps2, c2=compensate * compensate)
     flat_src, chunk_tgt, near_mask = _compact_open_lists(
-        ratio, theta, slack, flat_cap, entries, max_near)
+        score, thresh, slack, flat_cap, entries, max_near)
     return flat_src, chunk_tgt, near_mask, is_vip_body
 
 
@@ -1078,7 +1186,10 @@ def suggest_flat_cap(pos, mass, *, tile: int = DEFAULT_TILE,
                      theta: float = DEFAULT_THETA,
                      vip_tiles: int = DEFAULT_VIP_TILES,
                      slack: int = DEFAULT_NEAR_SLACK,
-                     margin: float = 1.25) -> int:
+                     margin: float = 1.25,
+                     mac_tau: float = 0.0,
+                     eps2: float = 1e-6,
+                     compensate: float = 0.1) -> int:
     """Static flat-list capacity for this distribution (host-side).
 
     ``margin`` covers near-count growth over the whole run (the capacity
@@ -1089,6 +1200,7 @@ def suggest_flat_cap(pos, mass, *, tile: int = DEFAULT_TILE,
     counts = np.asarray(open_counts(
         jnp.asarray(pos), jnp.asarray(mass),
         tile=tile, theta=theta, vip_tiles=vip_tiles, src_tile=src_tile,
+        mac_tau=mac_tau, eps2=eps2, compensate=compensate,
     ))
     entries = CHUNK_LANES // src_tile
     v = np.maximum(
@@ -1106,7 +1218,10 @@ def suggest_flat_cap_sharded(pos, mass, n_dev: int, *,
                              theta: float = DEFAULT_THETA,
                              vip_tiles: int = DEFAULT_VIP_TILES,
                              slack: int = DEFAULT_NEAR_SLACK,
-                             margin: float = 1.4) -> int:
+                             margin: float = 1.4,
+                             mac_tau: float = 0.0,
+                             eps2: float = 1e-6,
+                             compensate: float = 0.1) -> int:
     """Static PER-CHIP flat-list capacity when target rows are sharded
     over ``n_dev`` chips (host-side).
 
@@ -1118,6 +1233,7 @@ def suggest_flat_cap_sharded(pos, mass, n_dev: int, *,
     counts = np.asarray(open_counts(
         jnp.asarray(pos), jnp.asarray(mass),
         tile=tile, theta=theta, vip_tiles=vip_tiles, src_tile=src_tile,
+        mac_tau=mac_tau, eps2=eps2, compensate=compensate,
     ))
     entries = CHUNK_LANES // src_tile
     v = np.maximum(
@@ -1280,7 +1396,8 @@ def _flat_src_static(n_g: int, tile: int, src_tile: int,
 def build_flat_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
                      src_tile: int, theta: float, max_near: int,
                      vip_tiles: int, slack: int, flat_cap: int,
-                     row_offset):
+                     row_offset, mac_tau: float = 0.0,
+                     eps2: float = 1e-6, compensate: float = 0.1):
     """Flat acceptance for LOCAL target rows against GLOBAL sources
     (inside shard_map: every chip computes the identical global VIP split
     and source summaries from replicated columns, then compacts work
@@ -1298,12 +1415,14 @@ def build_flat_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
     else:
         is_vip_g = jnp.zeros((n_g,), bool)
         mass_tree_g = mass_g
-    com, _, radius, _ = tile_summaries_cols(xg, yg, zg, mass_tree_g,
-                                            src_tile)
-    ratio = _opening_ratio(xl, yl, zl, com, radius, tile,
-                           row_offset=row_offset, src_tile=src_tile)
+    com, m_tot, radius, _ = tile_summaries_cols(xg, yg, zg, mass_tree_g,
+                                                src_tile)
+    score, thresh = _opening_scores(
+        xl, yl, zl, com, radius, m_tot, tile, theta=theta, mac_tau=mac_tau,
+        row_offset=row_offset, src_tile=src_tile, eps2=eps2,
+        c2=compensate * compensate)
     flat_src, chunk_tgt, near_mask = _compact_open_lists(
-        ratio, theta, slack, flat_cap, entries, max_near)
+        score, thresh, slack, flat_cap, entries, max_near)
     return flat_src, chunk_tgt, near_mask, is_vip_g
 
 
@@ -1485,7 +1604,7 @@ def treecode_acc_flat_cols(
     jax.jit,
     static_argnames=(
         "eps2", "compensate", "G", "tile", "theta", "max_near", "vip_tiles",
-        "use_pallas", "interpret",
+        "use_pallas", "interpret", "mac_tau",
     ),
 )
 def treecode_acc(
@@ -1502,6 +1621,7 @@ def treecode_acc(
     vip_tiles: int = DEFAULT_VIP_TILES,
     use_pallas: bool | None = None,
     interpret: bool | None = None,
+    mac_tau: float = 0.0,
 ) -> jax.Array:
     """Approximate acc (N, 3): theta-criterion near/far split + exact VIPs.
 
@@ -1523,7 +1643,8 @@ def treecode_acc(
 
     if aux is None:
         aux = build_tree(pos, mass, tile=tile, theta=theta,
-                         max_near=max_near, vip_tiles=vip_tiles)
+                         max_near=max_near, vip_tiles=vip_tiles,
+                         mac_tau=mac_tau, eps2=eps2, compensate=compensate)
     near_idx, near_mask, is_vip_body = aux
     if vip_tiles:
         vip_tile_idx = jnp.nonzero(

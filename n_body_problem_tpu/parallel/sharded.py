@@ -136,17 +136,20 @@ class ShardedSimulation:
         )
         src = (cfg.tree_src_tile
                if use_flat or cfg.tree_flat_cap > 0 else None)
+        mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                   compensate=cfg.compensate)
         if cfg.tree_max_near == 0:
             cfg = cfg.replace(tree_max_near=suggest_max_near(
                 state.pos, state.mass, tile=cfg.tree_tile,
                 theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
-                src_tile=src,
+                src_tile=src, **mac,
             ))
         if use_flat:
             cfg = cfg.replace(tree_flat_cap=suggest_flat_cap_sharded(
                 state.pos, state.mass, n_dev, tile=cfg.tree_tile,
                 src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
                 vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
+                **mac,
             ))
         self.cfg = cfg
         self.state = shard_state(state, self.mesh)

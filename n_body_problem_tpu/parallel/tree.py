@@ -167,7 +167,9 @@ def _make_sharded_flat_run(cfg: SimConfig, mesh: Mesh,
             xg, yg, zg, mg = srt[0], srt[1], srt[2], srt[9]
             aux = build_flat_local(
                 x, y, z, xg, yg, zg, mg, slack=cfg.tree_near_slack,
-                flat_cap=flat_cap, row_offset=me * k_t_l, **sel)
+                flat_cap=flat_cap, row_offset=me * k_t_l,
+                mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                compensate=cfg.compensate, **sel)
 
             def force(px, py, pz):
                 pxg, pyg, pzg = gather(px), gather(py), gather(pz)
@@ -308,10 +310,12 @@ def make_sharded_treecode_run(
             else:
                 is_vip_g = jnp.zeros((pos_g.shape[0],), bool)
                 mass_tree_g = mass_g
-            com, _, radius, _ = tile_summaries(pos_g, mass_tree_g, tile)
+            com, m_tot_g, radius, _ = tile_summaries(pos_g, mass_tree_g, tile)
             near_idx_l, near_mask_l = _acceptance(
                 pos_l, com, radius, tile, cfg.tree_theta, max_near,
-                row_offset=me * (n_local // tile),
+                row_offset=me * (n_local // tile), m_tot=m_tot_g,
+                mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                c2=cfg.compensate * cfg.compensate,
             )
             aux = (near_idx_l, near_mask_l, is_vip_g)
 
@@ -400,11 +404,14 @@ def make_sharded_treecode_force(cfg: SimConfig, mesh: Mesh,
         else:
             is_vip_g = jnp.zeros((pos_g.shape[0],), bool)
             mass_tree_g = mass_g
-        com, _, radius, _ = tile_summaries(pos_g, mass_tree_g, tile)
+        com, m_tot_g, radius, _ = tile_summaries(pos_g, mass_tree_g, tile)
         me = lax.axis_index(axis_name)
         aux = (*_acceptance(pos_l, com, radius, tile, cfg.tree_theta,
                             max_near,
-                            row_offset=me * (pos_l.shape[0] // tile)),
+                            row_offset=me * (pos_l.shape[0] // tile),
+                            m_tot=m_tot_g, mac_tau=cfg.tree_mac_tau,
+                            eps2=cfg.eps2,
+                            c2=cfg.compensate * cfg.compensate),
                is_vip_g)
         return _local_treecode_acc(pos_l, mass_l, pos_g, mass_g, aux,
                                    vip_tiles=vip_tiles, **kw)

@@ -68,6 +68,8 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
     r = cfg.tree_rebuild_every
     sel = dict(tile=cfg.tree_tile, theta=cfg.tree_theta,
                max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
+    bsel = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                compensate=cfg.compensate, **sel)
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
     flat_cap = cfg.tree_flat_cap
     src = cfg.tree_src_tile
@@ -85,7 +87,7 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
             x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols
             aux = build_tree_flat_cols(x, y, z, m, src_tile=src,
                                        slack=cfg.tree_near_slack,
-                                       flat_cap=flat_cap, **sel)
+                                       flat_cap=flat_cap, **bsel)
 
             def force(px, py, pz):
                 return treecode_acc_flat_cols(px, py, pz, m, aux,
@@ -150,7 +152,7 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
 
     def chunk(state: SimState, ids: jax.Array, length: int):
         state, ids = device_resort(state, ids)
-        aux = build_tree(state.pos, state.mass, **sel)
+        aux = build_tree(state.pos, state.mass, **bsel)
         force = lambda pos, mass: treecode_acc(pos, mass, aux, **kw)
         step = make_integrator(cfg.integrator, force, cfg.dt)
         return run_steps(state, step, length), ids
@@ -282,18 +284,20 @@ class Simulation:
             # dense path in target tiles.
             src = (cfg.tree_src_tile
                    if use_flat or cfg.tree_flat_cap > 0 else None)
+            mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                       compensate=cfg.compensate)
             if cfg.tree_max_near == 0:
                 cfg = cfg.replace(tree_max_near=suggest_max_near(
                     state.pos, state.mass, tile=cfg.tree_tile,
                     theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
-                    src_tile=src,
+                    src_tile=src, **mac,
                 ))
             if use_flat:
                 cfg = cfg.replace(tree_flat_cap=suggest_flat_cap(
                     state.pos, state.mass, tile=cfg.tree_tile,
                     src_tile=cfg.tree_src_tile,
                     theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
-                    slack=cfg.tree_near_slack,
+                    slack=cfg.tree_near_slack, **mac,
                 ))
             self.cfg = cfg
         if cfg.integrator == "leapfrog":

@@ -301,3 +301,55 @@ def test_flat_capacity_overflow_is_consistent():
     assert np.percentile(err, 99) < 1.0, f"p99 {np.percentile(err, 99):.2e}"
     assert np.median(err) < 2e-2, f"median {np.median(err):.2e}"
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_mac_criterion_beats_theta_at_matched_cost():
+    """The mass-aware MAC (tree_mac_tau > 0) must be substantially more
+    accurate than the geometric theta test at comparable open counts —
+    the measured frontier property that made it the default (heavy
+    near-threshold tiles open, light far ones don't). Also: MAC never
+    opens massless padding tiles."""
+    from n_body_problem_tpu.ops.treecode import open_counts
+
+    state = _sorted_plummer(8192, seed=45)
+    kw = dict(tile=32, src_tile=64, vip_tiles=16)
+    cnt_theta = np.asarray(open_counts(
+        state.pos, state.mass, theta=0.55, **kw))
+    # tau is calibrated at K_s=4096; descale to this test's K_s=128 so
+    # the effective operating point matches the measured frontier.
+    tau = 2e-4 / (4096 / 128) ** 0.5
+    cnt_mac = np.asarray(open_counts(
+        state.pos, state.mass, mac_tau=tau, eps2=EPS2,
+        compensate=0.1, **kw))
+    # comparable cost: within ~35% of the geometric criterion's opens
+    assert cnt_mac.mean() < cnt_theta.mean() * 1.35, (
+        f"MAC opens {cnt_mac.mean():.1f} vs theta {cnt_theta.mean():.1f}")
+
+    sel = dict(tile=32, src_tile=64, theta=0.55, max_near=160,
+               vip_tiles=16)
+    want = direct_acc(state.pos, state.mass, eps2=EPS2)
+
+    def p99_err(mac_tau):
+        from n_body_problem_tpu.ops.treecode import (
+            build_tree_flat,
+            suggest_flat_cap,
+            treecode_acc_flat,
+        )
+
+        cap = suggest_flat_cap(
+            state.pos, state.mass, tile=32, src_tile=64, theta=0.55,
+            vip_tiles=16, slack=2, mac_tau=mac_tau, eps2=EPS2,
+            compensate=0.1)
+        aux = build_tree_flat(
+            state.pos, state.mass, slack=2, flat_cap=cap,
+            mac_tau=mac_tau, eps2=EPS2, compensate=0.1, **sel)
+        got = treecode_acc_flat(state.pos, state.mass, aux, eps2=EPS2,
+                                interpret=True, **sel)
+        return np.percentile(_rel_err(got, want), 99)
+
+
+    e_theta = p99_err(0.0)
+    e_mac = p99_err(tau)
+    assert e_mac < e_theta * 0.75, (
+        f"MAC p99 {e_mac:.2e} not clearly better than theta {e_theta:.2e}")
+    assert e_mac < 1.5e-3

@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--src", type=int, default=0, help="tree_src_tile")
     ap.add_argument("--theta", type=float, default=0.0)
+    ap.add_argument("--tau", type=float, default=-1.0,
+                    help="tree_mac_tau override (-1 keeps default)")
     ap.add_argument("--vip", type=int, default=-1)
     ap.add_argument("--slack", type=int, default=-1)
     ap.add_argument("--err", action="store_true",
@@ -73,6 +75,8 @@ def main():
         over["tree_src_tile"] = args.src
     if args.theta:
         over["tree_theta"] = args.theta
+    if args.tau >= 0:
+        over["tree_mac_tau"] = args.tau
     if args.vip >= 0:
         over["tree_vip_tiles"] = args.vip
     if args.slack >= 0:
@@ -83,13 +87,15 @@ def main():
     state = sim.state
     n = state.n
     tile = cfg.tree_tile
-    print(f"n={n} tile={tile} theta={cfg.tree_theta} "
+    print(f"n={n} tile={tile} theta={cfg.tree_theta} tau={cfg.tree_mac_tau} "
           f"max_near={cfg.tree_max_near} flat_cap={cfg.tree_flat_cap} "
           f"vip={cfg.tree_vip_tiles}")
 
     src = cfg.tree_src_tile
     sel = dict(tile=tile, src_tile=src, theta=cfg.tree_theta,
                max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
+    bsel = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                compensate=cfg.compensate, **sel)
     kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G, **sel)
     pos, mass = state.pos, state.mass
     c2 = cfg.compensate * cfg.compensate
@@ -97,7 +103,7 @@ def main():
 
     aux = jax.jit(functools.partial(
         tc.build_tree_flat, slack=cfg.tree_near_slack,
-        flat_cap=cfg.tree_flat_cap, **sel,
+        flat_cap=cfg.tree_flat_cap, **bsel,
     ))(pos, mass)
     flat_src, chunk_tgt, near_mask, is_vip_body = jax.block_until_ready(aux)
     k_s = n // src
@@ -130,7 +136,7 @@ def main():
     r["build_flat"] = timed(
         lambda p, m: tc.build_tree_flat(
             p, m, slack=cfg.tree_near_slack, flat_cap=cfg.tree_flat_cap,
-            **sel),
+            **bsel),
         args.steps, pos, mass)
 
     r["near"] = timed(
