@@ -49,12 +49,12 @@ Per force evaluation:
    field computes, not an unsoftened approximation. An isotropic
    quadrupole contributes exactly zero (validated in tests).
 
-Measured on one v5e (Plummer, theta=0.55, vip=128, src_tile=64,
-columnar run loop): N=262,144 at 110.7 ms/step end-to-end = 6.2e11
-effective directed pairs/s = 2.39x the reference's derived 4090
-baseline, with 1.0e-3 p99 / 1.4e-4 median relative force error probed
+Measured on one v5e (Plummer, MAC tau=2e-4, vip=128, src_tile=64,
+columnar run loop): N=262,144 at 97.7 ms/step end-to-end = 7.0e11
+effective directed pairs/s = 2.70x the reference's derived 4090
+baseline, with 7.7e-4 p99 / 1.8e-4 median relative force error probed
 in-run (envelopes asserted in tests/test_treecode.py); N=65,536 at
-16.6 ms/step = 2.59e11 = baseline parity. Compute splits mean-bound
+14.8 ms/step = 2.9e11 = 1.12x (p99 5.8e-4). Compute splits mean-bound
 with the compacted work lists (see build_tree_flat); the near and far
 kernels run at 70-100% of the dense-kernel VPU roofline, so remaining
 headroom is acceptance geometry, not kernel code.
