@@ -265,3 +265,29 @@ def test_sharded_flat_treecode_matches_single_chip(mesh):
     np.testing.assert_allclose(a[inv_a], b[inv_b], rtol=5e-4, atol=5e-5)
     d = ssim.diagnostics()
     assert d["overspeed"] == 0 and np.isfinite(d["energy"])
+
+
+def test_sharded_flat_treecode_d16():
+    """Flat sharded treecode beyond the smoke mesh (D=16): per-chip work
+    lists, 16-way gathered columnar resort, psum'd VIP reactions — must
+    still match the single-chip flat run."""
+    if jax.device_count() < 16:
+        pytest.skip("need 16 fake devices")
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+
+    n = 4096
+    mesh16 = make_ring_mesh(16)
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8,
+                    tree_rebuild_every=4, tree_src_tile=64,
+                    tree_max_near=64, tree_flat_cap=(n // 32) * 64)
+    ssim = ShardedSimulation(cfg, models.plummer(n, seed=51), mesh16,
+                             strategy="treecode")
+    ssim.run(8)
+    ref = __import__("n_body_problem_tpu").Simulation(
+        cfg, models.plummer(n, seed=51))
+    ref.run(8)
+    a = np.asarray(ssim.state.pos[:n])
+    b = np.asarray(ref.state.pos[:n])
+    inv_a = np.empty(n, int); inv_a[ssim.sort_perm] = np.arange(n)
+    inv_b = np.empty(n, int); inv_b[ref.sort_perm] = np.arange(n)
+    np.testing.assert_allclose(a[inv_a], b[inv_b], rtol=5e-4, atol=5e-5)
