@@ -121,13 +121,14 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                                 length=length)
             return carry + (m, eps, ids)
 
-        def run(state: SimState, _step_fn, n_steps: int):
+        def to_cols(state: SimState):
             ids = jnp.arange(state.n, dtype=jnp.int32)
-            cols = (state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            return (state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
                     state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
                     state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
                     state.mass, state.eps, ids)
-            n_real = state.n_real
+
+        def advance(cols, n_steps: int, n_real: int):
             full, rem = divmod(n_steps, r)
             if full:
                 def outer(c, _):
@@ -136,6 +137,9 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                 cols, _ = lax.scan(outer, cols, length=full)
             if rem:
                 cols = chunk_cols(cols, rem, n_real)
+            return cols
+
+        def from_cols(cols, state: SimState, n_steps: int):
             x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols
             out = SimState(
                 pos=jnp.stack([x, y, z], axis=1),
@@ -144,10 +148,43 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                 mass=m, eps=eps,
                 time=state.time + n_steps * jnp.asarray(dt, state.time.dtype),
                 step=state.step + n_steps,
-                n_real=n_real,
+                n_real=state.n_real,
             )
             return out, ids
 
+        def run(state: SimState, _step_fn, n_steps: int):
+            cols = advance(to_cols(state), n_steps, state.n_real)
+            return from_cols(cols, state, n_steps)
+
+        def movie(state: SimState, n_steps: int, render_every: int,
+                  view_projection, scale_factors, width: int, height: int):
+            """Chunked treecode movie: the full resort + cached-acceptance
+            machinery runs between frames, so long treecode movies are as
+            safe as :func:`run` (the generic ``run_with_frames`` path
+            rebuilds per step and never re-sorts — short spans only).
+            Returns (state, ids, frames (F, H, W, 3))."""
+            from n_body_problem_tpu.render.splat import splat_frame
+
+            if n_steps % render_every:
+                raise ValueError("n_steps must be a multiple of render_every")
+            n_real = state.n_real
+            n = state.n
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+                    < n_real)
+
+            def frame_body(c, _):
+                c = advance(c, render_every, n_real)
+                pos = jnp.stack([c[0], c[1], c[2]], axis=1)
+                frame = splat_frame(pos, c[9], mask, view_projection,
+                                    scale_factors, width=width, height=height)
+                return c, frame
+
+            cols, frames = lax.scan(frame_body, to_cols(state),
+                                    length=n_steps // render_every)
+            out, ids = from_cols(cols, state, n_steps)
+            return out, ids, frames
+
+        run.movie = movie
         return run
 
     def chunk(state: SimState, ids: jax.Array, length: int):
@@ -309,12 +346,18 @@ class Simulation:
         donate = (0,) if cfg.donate else ()
         run_impl = run_steps
         self._run_returns_ids = solver == "treecode"
+        self._jit_tree_movie = None
         if self._run_returns_ids:
             # Fused device resort + cached acceptance rebuild every
-            # tree_rebuild_every steps (trajectory and movie keep the
-            # per-step rebuild and are only safe for short spans; use
-            # run() + render_state for long treecode movies).
+            # tree_rebuild_every steps. The flat (columnar) run also
+            # carries a chunked movie variant so long treecode movies get
+            # the same resort safety; the dense fallback's movie goes
+            # through the generic per-step path (short spans only).
             run_impl = make_treecode_run(cfg, backend)
+            if hasattr(run_impl, "movie"):
+                self._jit_tree_movie = jax.jit(
+                    run_impl.movie, static_argnums=(1, 2, 5, 6),
+                    donate_argnums=donate)
         self._jit_run = jax.jit(run_impl, static_argnums=(1, 2), donate_argnums=donate)
         self._jit_traj = jax.jit(
             run_trajectory, static_argnums=(1, 2, 3), donate_argnums=donate
@@ -408,10 +451,16 @@ class Simulation:
         vp = jnp.asarray(camera.view_projection())
         scales = jnp.asarray(_np.asarray(scale_factors, _np.float32))
         t0 = _time.perf_counter()
-        self.state, frames = self._jit_movie(
-            self.state, self._step_fn, n_steps, render_every, vp, scales,
-            width, height,
-        )
+        if self._jit_tree_movie is not None:
+            self.state, ids, frames = self._jit_tree_movie(
+                self.state, n_steps, render_every, vp, scales, width, height,
+            )
+            self._track_ids(ids)
+        else:
+            self.state, frames = self._jit_movie(
+                self.state, self._step_fn, n_steps, render_every, vp, scales,
+                width, height,
+            )
         self.state.block_until_ready()
         self.wall_seconds += _time.perf_counter() - t0
         return frames

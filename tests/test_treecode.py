@@ -353,3 +353,30 @@ def test_mac_criterion_beats_theta_at_matched_cost():
     assert e_mac < e_theta * 0.75, (
         f"MAC p99 {e_mac:.2e} not clearly better than theta {e_theta:.2e}")
     assert e_mac < 1.5e-3
+
+
+def test_flat_treecode_movie_matches_run():
+    """The flat treecode movie runs the SAME chunked resort+rebuild
+    machinery as run() between frames (long-movie safety); with
+    render_every == tree_rebuild_every the chunk sequence is identical,
+    so the final state must match run() exactly."""
+    from n_body_problem_tpu.render import OrbitCamera
+
+    n = 4096
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8, tree_src_tile=64,
+                    tree_max_near=64, tree_rebuild_every=4,
+                    tree_flat_cap=(n // 32) * 64, donate=False)
+    sim_a = Simulation(cfg, models.plummer(n, seed=7))
+    assert sim_a._jit_tree_movie is not None, "flat movie path not wired"
+    frames = sim_a.movie(8, render_every=4, camera=OrbitCamera(distance=2.0),
+                         width=128, height=128)
+    assert frames.shape[0] == 2 and np.isfinite(np.asarray(frames)).all()
+    assert np.asarray(frames).max() > 0, "frames are blank"
+
+    sim_b = Simulation(cfg, models.plummer(n, seed=7))
+    sim_b.run(8)
+    inv_a = np.empty(n, int); inv_a[sim_a.sort_perm] = np.arange(n)
+    inv_b = np.empty(n, int); inv_b[sim_b.sort_perm] = np.arange(n)
+    np.testing.assert_allclose(
+        np.asarray(sim_a.state.pos[:n])[inv_a],
+        np.asarray(sim_b.state.pos[:n])[inv_b], rtol=1e-6, atol=1e-7)
