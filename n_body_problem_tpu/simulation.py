@@ -184,7 +184,24 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
             out, ids = from_cols(cols, state, n_steps)
             return out, ids, frames
 
+        def trajectory(state: SimState, n_steps: int, save_every: int):
+            """Chunked treecode trajectory (same machinery as ``movie``):
+            (state, ids, pos_history (F, N, 3))."""
+            if n_steps % save_every:
+                raise ValueError("n_steps must be a multiple of save_every")
+            n_real = state.n_real
+
+            def save_body(c, _):
+                c = advance(c, save_every, n_real)
+                return c, jnp.stack([c[0], c[1], c[2]], axis=1)
+
+            cols, hist = lax.scan(save_body, to_cols(state),
+                                  length=n_steps // save_every)
+            out, ids = from_cols(cols, state, n_steps)
+            return out, ids, hist
+
         run.movie = movie
+        run.trajectory = trajectory
         return run
 
     def chunk(state: SimState, ids: jax.Array, length: int):
@@ -347,6 +364,7 @@ class Simulation:
         run_impl = run_steps
         self._run_returns_ids = solver == "treecode"
         self._jit_tree_movie = None
+        self._jit_tree_traj = None
         if self._run_returns_ids:
             # Fused device resort + cached acceptance rebuild every
             # tree_rebuild_every steps. The flat (columnar) run also
@@ -357,6 +375,9 @@ class Simulation:
             if hasattr(run_impl, "movie"):
                 self._jit_tree_movie = jax.jit(
                     run_impl.movie, static_argnums=(1, 2, 5, 6),
+                    donate_argnums=donate)
+                self._jit_tree_traj = jax.jit(
+                    run_impl.trajectory, static_argnums=(1, 2),
                     donate_argnums=donate)
         self._jit_run = jax.jit(run_impl, static_argnums=(1, 2), donate_argnums=donate)
         self._jit_traj = jax.jit(
@@ -430,7 +451,13 @@ class Simulation:
 
     def trajectory(self, n_steps: int, save_every: int = 1) -> jax.Array:
         t0 = _time.perf_counter()
-        self.state, hist = self._jit_traj(self.state, self._step_fn, n_steps, save_every)
+        if self._jit_tree_traj is not None:
+            self.state, ids, hist = self._jit_tree_traj(
+                self.state, n_steps, save_every)
+            self._track_ids(ids)
+        else:
+            self.state, hist = self._jit_traj(
+                self.state, self._step_fn, n_steps, save_every)
         self.state.block_until_ready()
         self.wall_seconds += _time.perf_counter() - t0
         return hist

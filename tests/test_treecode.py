@@ -380,3 +380,19 @@ def test_flat_treecode_movie_matches_run():
     np.testing.assert_allclose(
         np.asarray(sim_a.state.pos[:n])[inv_a],
         np.asarray(sim_b.state.pos[:n])[inv_b], rtol=1e-6, atol=1e-7)
+
+
+def test_flat_treecode_trajectory_matches_run():
+    """trajectory() on the flat path uses the same chunked machinery."""
+    n = 4096
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8, tree_src_tile=64,
+                    tree_max_near=64, tree_rebuild_every=4,
+                    tree_flat_cap=(n // 32) * 64, donate=False)
+    sim_a = Simulation(cfg, models.plummer(n, seed=9))
+    hist = sim_a.trajectory(8, save_every=4)
+    assert hist.shape == (2, sim_a.state.n, 3)
+    sim_b = Simulation(cfg, models.plummer(n, seed=9))
+    sim_b.run(8)
+    np.testing.assert_allclose(np.asarray(hist[-1]),
+                               np.asarray(sim_b.state.pos),
+                               rtol=1e-6, atol=1e-7)
