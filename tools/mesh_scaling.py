@@ -1,0 +1,89 @@
+"""Virtual-CPU-mesh scaled-run measurement (VERDICT r1 #4's last item).
+
+Runs the sharded solvers at N up to 262,144 on D virtual CPU devices
+(interpret-off XLA path — the exact ring and the dense treecode both run
+through XLA collectives, no Pallas) and records ms/step per (N, D).
+Absolute numbers are CPU-host numbers and meaningless for TPU perf; the
+point is that the DISTRIBUTED code paths execute real multi-device
+programs at flagship scale and stay finite, and that per-chip work
+shrinks with D.
+
+    python tools/mesh_scaling.py [--steps 2] [--out validation/mesh_scaling.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--out", default="validation/mesh_scaling.json")
+    args = ap.parse_args()
+
+    from n_body_problem_tpu import SimConfig, models
+    from n_body_problem_tpu.parallel.mesh import make_ring_mesh
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+
+    rows = []
+    configs = [
+        # (N, D, strategy) — half_ring is the exact cross-chip solver;
+        # treecode (dense path; the flat path's Pallas kernels need the
+        # TPU) is the hierarchical one. N=262,144 is the TPU flagship
+        # scale: the claim "N > ~512k is ring territory" needs the ring
+        # actually executing at flagship N on a mesh, not asserted.
+        # (Host-CPU N^2 throughput is ~3 orders below the TPU's, so keep
+        # the step counts tiny — this is a correctness-at-scale program
+        # execution, not a benchmark.)
+        (65536, 8, "half_ring"),
+        (262144, 8, "half_ring"),
+        (65536, 8, "treecode"),
+    ]
+    for n, d, strategy in configs:
+        mesh = make_ring_mesh(d)
+        kw = {}
+        if strategy == "treecode":
+            kw = dict(tree_vip_tiles=32, tree_rebuild_every=args.steps,
+                      tree_flat_cap=-1)
+        cfg = SimConfig(solver="direct", donate=False, **kw) \
+            if strategy != "treecode" else SimConfig(
+                solver="treecode", donate=False, **kw)
+        sim = ShardedSimulation(cfg, models.plummer(n, seed=0), mesh,
+                                strategy=strategy)
+        sim.run(args.steps)  # compile + warm
+        t0 = time.perf_counter()
+        sim.run(args.steps)
+        np.asarray(sim.state.pos[0])
+        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        finite = bool(np.isfinite(np.asarray(sim.state.pos)).all())
+        rows.append(dict(n=n, devices=d, strategy=strategy,
+                         ms_per_step_cpu=round(ms, 1), finite=finite))
+        print(f"mesh_scaling: N={n} D={d} {strategy}: {ms:.1f} ms/step "
+              f"finite={finite}", file=sys.stderr)
+        assert finite
+
+    out = dict(backend="cpu-virtual-mesh", steps=args.steps, results=rows)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
