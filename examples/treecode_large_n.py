@@ -1,10 +1,11 @@
 """Barnes-Hut treecode: past the brute-force wall.
 
-The exact solvers evaluate N^2 pairs; the treecode's theta-criterion
-acceptance runs the same physics at a fraction of the pair work
-(~5e-4 p99 relative force error at theta=0.5), overtaking the exact
-kernels around N ~ 100k and the reference's RTX 4090 headline
-throughput around N ~ 200k on one v5e (docs/roofline.md).
+The exact solvers evaluate N^2 pairs; the treecode's mass-aware MAC
+acceptance (docs/acceptance.md) runs the same physics at a fraction of
+the pair work (~8e-4 p99 relative force error at the default
+tree_mac_tau=2e-4), overtaking the exact kernels around N ~ 50k and
+beating the reference's RTX 4090 headline throughput 2.7x at N=262k on
+one v5e (docs/roofline.md, STATUS.md).
 
     python examples/treecode_large_n.py --n 262144 --steps 64
 """
@@ -21,12 +22,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--tau", type=float, default=0.0,
+                    help="tree_mac_tau override (0 keeps the default)")
     args = ap.parse_args()
 
-    cfg = SimConfig(solver="treecode", tree_theta=args.theta)
+    over = {"tree_mac_tau": args.tau} if args.tau else {}
+    cfg = SimConfig(solver="treecode", **over)
     sim = Simulation(cfg, models.plummer(args.n, seed=0))
-    print(f"n={sim.state.n_real}  theta={cfg.tree_theta}  "
+    print(f"n={sim.state.n_real}  mac_tau={cfg.tree_mac_tau}  "
           f"near capacity={sim.cfg.tree_max_near} tiles  "
           f"flat cap={sim.cfg.tree_flat_cap}")
 

@@ -21,9 +21,14 @@ import time
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in _flags:
+    # The host serializes the virtual devices' programs, so at flagship N
+    # the inter-device skew at each collective exceeds XLA CPU's default
+    # 40 s rendezvous termination — a simulation artifact, not a hang.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax  # noqa: E402
 
