@@ -2,15 +2,16 @@
 
 Default (no args) runs the flagship suite:
 
-1. ``treecode`` at N=262,144 — the headline: a Barnes-Hut solver whose
-   static-shape acceptance runs entirely on dense TPU tiles; effective
+1. ``treecode`` at N=524,288 / 262,144 / 65,536 — the headline is the
+   largest completed leg: a Barnes-Hut solver whose static-shape
+   mass-aware-MAC acceptance runs entirely on dense TPU tiles; effective
    throughput = physical directed pairs N(N-1) per step time, with the
    force-error envelope measured in the same run against an exact oracle
    on 2,048 sampled bodies (so the "effective" claim carries its accuracy
-   alongside: ~1e-3 p99 relative force error at theta=0.5).
-2. ``pallas_symmetric`` at N=65,536 — the exact-f32 flagship (the
-   reference report's half-pair method, TPU-native), for the honest
-   brute-force comparison (docs/roofline.md).
+   alongside: ~1e-3 p99 relative force error at the default tau).
+2. ``pallas_symmetric`` at N=65,536 — the exact-f32 brute-force flagship
+   (the reference report's half-pair method, TPU-native), for the honest
+   exact comparison (docs/roofline.md).
 
 ``vs_baseline`` compares the headline number to the reference's derived
 RTX 4090 throughput of 2.6e11 directed interactions/s (BASELINE.md,
@@ -85,10 +86,14 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         sub = np.arange(0, state.n, max(state.n // 2048, 1))
         force_fn = make_force_fn(sim.cfg, n=state.n)
         approx = np.asarray(force_fn(state.pos, state.mass))[sub]
-        exact = np.asarray(pair_accel_tile(
-            state.pos[sub], state.pos, state.mass,
-            eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
-        ))
+        # Chunk the oracle rows: pair_accel_tile materializes (I, N, 3),
+        # which OOMs past N ~ 300k at I = 2048.
+        exact = np.concatenate([
+            np.asarray(pair_accel_tile(
+                state.pos[sub[a:a + 512]], state.pos, state.mass,
+                eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
+            )) for a in range(0, len(sub), 512)
+        ])
         err = (np.linalg.norm(approx - exact, axis=1)
                / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))
         out["force_err_median"] = float(np.median(err))
@@ -144,32 +149,50 @@ def main() -> None:
     # ---- flagship suite ----
     # 32-step windows: the sandbox relay has a ~20-90 ms fixed dispatch
     # cost per run() call; an 8-step window inflated ms/step by ~10%.
-    tree = bench_config(262144, "treecode", steps=args.steps or 32)
-    tree65 = bench_config(65536, "treecode", steps=args.steps or 128)
-    exact = bench_config(65536, "pallas_symmetric", steps=args.steps or 16)
-    ms_render = bench_render(65536, "pallas_symmetric")
+    # Every leg is individually fault-tolerant (the relay occasionally
+    # wedges at the largest sizes); the headline is the LARGEST treecode
+    # leg that completed — effective throughput grows with N for a
+    # sub-quadratic solver, and the accuracy envelope rides along.
+    def safe(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # pragma: no cover - relay-dependent
+            print(f"bench: leg failed: {e!r}", file=sys.stderr)
+            return None
 
+    tree524 = safe(bench_config, 524288, "treecode", steps=args.steps or 32)
+    tree = safe(bench_config, 262144, "treecode", steps=args.steps or 32)
+    tree65 = safe(bench_config, 65536, "treecode", steps=args.steps or 128)
+    exact = safe(bench_config, 65536, "pallas_symmetric",
+                 steps=args.steps or 16)
+    ms_render = safe(bench_render, 65536, "pallas_symmetric")
+
+    head = next(t for t in (tree524, tree, tree65) if t is not None)
     report = {
         "metric": "effective pairwise interactions/sec/chip "
-                  "(treecode, N=262144)",
-        "value": tree["pairs_per_sec"],
+                  f"(treecode, N={head['n']})",
+        "value": head["pairs_per_sec"],
         "unit": "pairs/s",
-        "vs_baseline": tree["pairs_per_sec"] / BASELINE,
-        "ms_per_step": tree["ms_per_step"],
-        "force_err_p99": tree.get("force_err_p99"),
-        "force_err_median": tree.get("force_err_median"),
-        "n": tree["n"],
+        "vs_baseline": head["pairs_per_sec"] / BASELINE,
+        "ms_per_step": head["ms_per_step"],
+        "force_err_p99": head.get("force_err_p99"),
+        "force_err_median": head.get("force_err_median"),
+        "n": head["n"],
         "solver": "treecode",
-        "tree_pairs_per_sec_65k": tree65["pairs_per_sec"],
-        "tree_ms_per_step_65k": tree65["ms_per_step"],
-        "tree_vs_baseline_65k": tree65["pairs_per_sec"] / BASELINE,
-        "tree_force_err_p99_65k": tree65.get("force_err_p99"),
-        "exact_pairs_per_sec_65k": exact["pairs_per_sec"],
-        "exact_ms_per_step_65k": exact["ms_per_step"],
-        "exact_vs_baseline": exact["pairs_per_sec"] / BASELINE,
-        "ms_per_step_with_render_65k": ms_render,
         "backend": backend,
     }
+    for tag, leg in (("524k", tree524), ("262k", tree), ("65k", tree65)):
+        if leg is not None:
+            report[f"tree_pairs_per_sec_{tag}"] = leg["pairs_per_sec"]
+            report[f"tree_ms_per_step_{tag}"] = leg["ms_per_step"]
+            report[f"tree_vs_baseline_{tag}"] = leg["pairs_per_sec"] / BASELINE
+            report[f"tree_force_err_p99_{tag}"] = leg.get("force_err_p99")
+    if exact is not None:
+        report["exact_pairs_per_sec_65k"] = exact["pairs_per_sec"]
+        report["exact_ms_per_step_65k"] = exact["ms_per_step"]
+        report["exact_vs_baseline"] = exact["pairs_per_sec"] / BASELINE
+    if ms_render is not None:
+        report["ms_per_step_with_render_65k"] = ms_render
     print(json.dumps(report))
 
 

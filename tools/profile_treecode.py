@@ -183,9 +183,12 @@ def main():
 
         sub = np.arange(0, n, max(n // 2048, 1))
         approx = np.asarray(tc.treecode_acc_flat(pos, mass, aux, **kw))[sub]
-        exact = np.asarray(pair_accel_tile(
-            pos[sub], pos, mass, eps2=cfg.eps2,
-            compensate=cfg.compensate, G=cfg.G))
+        exact = np.concatenate([
+            np.asarray(pair_accel_tile(
+                pos[sub[a:a + 512]], pos, mass, eps2=cfg.eps2,
+                compensate=cfg.compensate, G=cfg.G))
+            for a in range(0, len(sub), 512)
+        ])
         e = (np.linalg.norm(approx - exact, axis=1)
              / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))
         print(f"force err: median {np.median(e):.2e} "
