@@ -78,7 +78,14 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         probe_error = solver == "treecode"
     if probe_error:
         # Accuracy rides along with every effective-throughput claim:
-        # exact oracle on sampled bodies of the EVOLVED state.
+        # exact oracle on sampled bodies of the EVOLVED state. 2,048
+        # stride-sampled bodies bound p99 well even for a 524k
+        # population: the empirical 99th percentile of m samples has
+        # quantile-rank s.e. sqrt(.01*.99/m) ~ 0.22%, i.e. the estimate
+        # sits between the true p98.3 and p99.7 (95% CI) regardless of
+        # N; stride sampling over the Morton-sorted order is a spatial
+        # stratified sample (core and halo covered proportionally), so
+        # there is no locality bias for the percentile to hide in.
         from n_body_problem_tpu.ops.forces import pair_accel_tile
         from n_body_problem_tpu.ops.registry import make_force_fn
 
@@ -119,6 +126,29 @@ def bench_render(n: int, solver: str) -> float:
     return (time.perf_counter() - t0) / 10 * 1e3
 
 
+def run_single(n: int, solver: str, steps: int = 0) -> dict:
+    """Benchmark one configuration; returns (and prints) the JSON record.
+
+    The ``nbody bench`` CLI subcommand calls this directly (it used to
+    rewrite ``sys.argv`` and re-enter :func:`main`).
+    """
+    import jax
+
+    n = n or 65536
+    solver = solver or "pallas_symmetric"
+    steps = steps or (8 if n > 131072 else 16)
+    r = bench_config(n, solver, steps)
+    r.update({
+        "metric": f"pairwise interactions/sec/chip ({solver}, N={n})",
+        "value": r["pairs_per_sec"],
+        "unit": "pairs/s",
+        "vs_baseline": r["pairs_per_sec"] / BASELINE,
+        "backend": jax.default_backend(),
+    })
+    print(json.dumps(r))
+    return r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=0,
@@ -132,18 +162,7 @@ def main() -> None:
     backend = jax.default_backend()
 
     if args.n or args.solver:
-        n = args.n or 65536
-        solver = args.solver or "pallas_symmetric"
-        steps = args.steps or (8 if n > 131072 else 16)
-        r = bench_config(n, solver, steps)
-        r.update({
-            "metric": f"pairwise interactions/sec/chip ({solver}, N={n})",
-            "value": r["pairs_per_sec"],
-            "unit": "pairs/s",
-            "vs_baseline": r["pairs_per_sec"] / BASELINE,
-            "backend": backend,
-        })
-        print(json.dumps(r))
+        run_single(args.n, args.solver, args.steps)
         return
 
     # ---- flagship suite ----
@@ -167,7 +186,11 @@ def main() -> None:
                  steps=args.steps or 16)
     ms_render = safe(bench_render, 65536, "pallas_symmetric")
 
-    head = next(t for t in (tree524, tree, tree65) if t is not None)
+    head = next((t for t in (tree524, tree, tree65) if t is not None), None)
+    if head is None:
+        print("bench: every treecode leg failed; no headline to report",
+              file=sys.stderr)
+        sys.exit(1)
     report = {
         "metric": "effective pairwise interactions/sec/chip "
                   f"(treecode, N={head['n']})",

@@ -254,9 +254,7 @@ def cmd_render(args) -> int:
 def cmd_bench(args) -> int:
     import bench  # repo-root harness
 
-    sys.argv = ["bench.py", "--n", str(args.n), "--steps", str(args.steps),
-                "--solver", args.solver]
-    bench.main()
+    bench.run_single(args.n, args.solver, args.steps)
     return 0
 
 

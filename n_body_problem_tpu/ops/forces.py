@@ -216,7 +216,9 @@ def required_padding(
     tile_j: int = 1024,
     sym_tile: int = 512,
     tree_tile: int = 32,
-    tree_src_tile: int = 128,
+    tree_src_tile: int = 64,  # = treecode.DEFAULT_SRC_TILE (ADVICE r2: the
+                              # old 128 default padded for the wrong source
+                              # granularity)
 ) -> int:
     """Padded body count a solver needs for N bodies."""
     if solver in ("blocked", "mxu"):

@@ -994,9 +994,9 @@ def build_tree(
 # per-target near lists into ONE work array so cost is MEAN-bound, and
 # works at an ASYMMETRIC granularity: target rows stay ``tile`` (=32)
 # bodies — the output/accuracy granularity — while near SOURCES span
-# ``src_tile`` (=128) bodies. Coarser sources shrink every bookkeeping
-# structure 4x (acceptance matrix, top_k, far-field summary count) and
-# make each near entry a 2 KiB, 128-lane-aligned panel the near kernel
+# ``src_tile`` (=64) bodies. Coarser sources shrink every bookkeeping
+# structure 2x (acceptance matrix, top_k, far-field summary count) and
+# make each near entry a 1 KiB, 64-lane-aligned panel the near kernel
 # fetches STRAIGHT from HBM via scalar-prefetched index maps — no gathered
 # panel array is materialized (the round-2 gather kernel moved ~2 GiB of
 # 512 B panels per eval at N=262k and cost 22 ms). The price is a thicker

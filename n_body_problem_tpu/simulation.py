@@ -186,14 +186,28 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
 
         def trajectory(state: SimState, n_steps: int, save_every: int):
             """Chunked treecode trajectory (same machinery as ``movie``):
-            (state, ids, pos_history (F, N, 3))."""
+            (state, ids, pos_history (F, N, 3)).
+
+            Every saved frame is un-permuted back to the CALL-ENTRY body
+            order (the chunked resort re-orders bodies every rebuild, so
+            raw frames would each be in a different Morton order and
+            could not be mapped to body identities — ADVICE r2). Frame
+            row i is therefore the same body in every frame, exactly as
+            on the dense/generic path; ``ids`` still maps the FINAL
+            state's slots to entry slots.
+            """
             if n_steps % save_every:
                 raise ValueError("n_steps must be a multiple of save_every")
             n_real = state.n_real
 
             def save_body(c, _):
                 c = advance(c, save_every, n_real)
-                return c, jnp.stack([c[0], c[1], c[2]], axis=1)
+                # One multi-operand sort keyed on the ids column (the
+                # sort network applies the permutation; a gather would
+                # be random-access-bound on TPU).
+                _, x0, y0, z0 = lax.sort((c[11], c[0], c[1], c[2]),
+                                         num_keys=1)
+                return c, jnp.stack([x0, y0, z0], axis=1)
 
             cols, hist = lax.scan(save_body, to_cols(state),
                                   length=n_steps // save_every)
@@ -395,9 +409,16 @@ class Simulation:
     def run(self, n_steps: int) -> SimState:
         """Advance n_steps. With ``cfg.resort_every = r`` the call runs in
         fixed chunks of r steps with a Morton re-sort between them (at most
-        two distinct scan lengths compile: r and the remainder). Note:
-        :meth:`trajectory` and :meth:`movie` are single device programs and
-        deliberately do NOT re-sort mid-run."""
+        two distinct scan lengths compile: r and the remainder).
+
+        Resort locality: the treecode path re-sorts ON DEVICE inside one
+        scanned program (``make_treecode_run``); every other solver's
+        ``resort_every`` chunks at the HOST — one device round-trip per
+        chunk, because those solvers only need sorting for cache locality,
+        not correctness, and the host `numpy` Morton sort keeps their step
+        functions permutation-free. Note: the generic :meth:`trajectory` /
+        :meth:`movie` programs deliberately do NOT re-sort mid-run (the
+        flat treecode variants do, chunked)."""
         t0 = _time.perf_counter()
         if self._run_returns_ids:
             self.state, ids = self._jit_run(self.state, self._step_fn, n_steps)
@@ -449,7 +470,28 @@ class Simulation:
         else:
             self.sort_perm = _np.asarray(self.sort_perm)[perm_real]
 
+    def _guard_dense_tree_span(self, n_steps: int) -> None:
+        """Refuse long movies/trajectories on the DENSE treecode fallback.
+
+        That path runs the generic per-step program: no Morton re-sort
+        fires inside it, tile locality decays, and once open counts blow
+        past the static near capacity the leaked multipole errors heat the
+        core (measured dE/E ~ 1e3 over a long un-resorted run). The flat
+        (columnar) treecode variants chunk-resort and have no limit.
+        """
+        if self._run_returns_ids and self._jit_tree_traj is None:
+            limit = 4 * self.cfg.tree_rebuild_every
+            if n_steps > limit:
+                raise ValueError(
+                    f"movie/trajectory of {n_steps} steps on the dense "
+                    f"treecode fallback would run without mid-span Morton "
+                    f"re-sorts (locality decay corrupts long runs; "
+                    f"measured dE/E ~ 1e3). Use run(), split the span "
+                    f"into chunks of <= {limit} steps, or use the flat "
+                    f"treecode path (the TPU default).")
+
     def trajectory(self, n_steps: int, save_every: int = 1) -> jax.Array:
+        self._guard_dense_tree_span(n_steps)
         t0 = _time.perf_counter()
         if self._jit_tree_traj is not None:
             self.state, ids, hist = self._jit_tree_traj(
@@ -475,6 +517,7 @@ class Simulation:
         """Simulate + render on device in one program; (F, H, W, 3) frames."""
         import numpy as _np
 
+        self._guard_dense_tree_span(n_steps)
         vp = jnp.asarray(camera.view_projection())
         scales = jnp.asarray(_np.asarray(scale_factors, _np.float32))
         t0 = _time.perf_counter()

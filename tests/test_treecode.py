@@ -383,16 +383,50 @@ def test_flat_treecode_movie_matches_run():
 
 
 def test_flat_treecode_trajectory_matches_run():
-    """trajectory() on the flat path uses the same chunked machinery."""
+    """trajectory() on the flat path uses the same chunked machinery, and
+    every frame is un-permuted to the call-entry body order (ADVICE r2:
+    raw frames were each in a different Morton order)."""
     n = 4096
     cfg = SimConfig(solver="treecode", tree_vip_tiles=8, tree_src_tile=64,
                     tree_max_near=64, tree_rebuild_every=4,
                     tree_flat_cap=(n // 32) * 64, donate=False)
     sim_a = Simulation(cfg, models.plummer(n, seed=9))
+    entry_perm = np.asarray(sim_a.sort_perm).copy()  # entry slot -> orig id
     hist = sim_a.trajectory(8, save_every=4)
     assert hist.shape == (2, sim_a.state.n, 3)
+
     sim_b = Simulation(cfg, models.plummer(n, seed=9))
     sim_b.run(8)
-    np.testing.assert_allclose(np.asarray(hist[-1]),
-                               np.asarray(sim_b.state.pos),
-                               rtol=1e-6, atol=1e-7)
+    # Compare in original-id space: frame rows are call-entry slots.
+    by_orig_a = np.empty((n, 3))
+    by_orig_a[entry_perm] = np.asarray(hist[-1][:n])
+    by_orig_b = np.empty((n, 3))
+    by_orig_b[np.asarray(sim_b.sort_perm)] = np.asarray(sim_b.state.pos[:n])
+    np.testing.assert_allclose(by_orig_a, by_orig_b, rtol=1e-6, atol=1e-7)
+
+    # Fixed-order property: row r is the SAME body in both frames, so
+    # per-row displacement across 4 steps is tiny; a Morton-permuted row
+    # would jump by the system scale.
+    disp = np.linalg.norm(np.asarray(hist[1][:n] - hist[0][:n]), axis=1)
+    assert np.median(disp) < 0.1, "frame rows are not a fixed body order"
+
+
+def test_dense_tree_long_span_refused():
+    """The DENSE treecode fallback cannot resort inside movie()/
+    trajectory(); long spans must be refused loudly instead of silently
+    decaying (VERDICT r2 #6). run() (which chunk-resorts) stays fine."""
+    import pytest
+
+    n = 2048
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8, tree_max_near=32,
+                    tree_rebuild_every=4, tree_flat_cap=0, donate=False)
+    sim = Simulation(cfg, models.plummer(n, seed=3))
+    assert sim._jit_tree_traj is None, "expected the dense fallback"
+    with pytest.raises(ValueError, match="re-sort"):
+        sim.trajectory(64, save_every=8)
+    from n_body_problem_tpu.render import OrbitCamera
+
+    with pytest.raises(ValueError, match="re-sort"):
+        sim.movie(64, render_every=8, camera=OrbitCamera(distance=2.0),
+                  width=64, height=64)
+    sim.trajectory(8, save_every=8)  # short span still allowed
