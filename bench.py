@@ -41,23 +41,26 @@ def _sync(x) -> float:
 
 
 def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
-                 probe_error: bool | None = None) -> dict:
+                 probe_error: bool | None = None, windows: int = 3) -> dict:
     import numpy as np
 
     from n_body_problem_tpu import SimConfig, Simulation, models
 
     cfg = SimConfig(solver=solver)
     sim = Simulation(cfg, models.plummer(n, seed=0))
-    print(f"bench: n={n} padded={sim.state.n} solver={solver}", file=sys.stderr)
+    print(f"bench: n={n} padded={sim.state.n} solver={solver} "
+          f"steps={steps}", file=sys.stderr)
 
     # Warm up with the SAME step count: scan length is a static jit arg, so
     # a different count would push the compile into the timed region.
     for _ in range(max(warmup, 1)):
         sim.run(steps)
         _sync(sim.state.pos[0, 0])
-    # Best of three timed windows: the relay adds multi-ms jitter.
+    # Best of `windows` timed windows: the relay adds multi-ms jitter.
+    # (Long sustained windows self-average the jitter; one window is
+    # enough there.)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(max(windows, 1)):
         t0 = time.perf_counter()
         sim.run(steps)
         _sync(sim.state.pos[0, 0])
@@ -182,18 +185,37 @@ def main() -> None:
     tree524 = safe(bench_config, 524288, "treecode", steps=args.steps or 32)
     tree = safe(bench_config, 262144, "treecode", steps=args.steps or 32)
     tree65 = safe(bench_config, 65536, "treecode", steps=args.steps or 128)
+    # Sustained legs (VERDICT r2 #2): hundreds of steps through run() —
+    # every rebuild, resort and capacity-drift effect inside the timed
+    # window, compile excluded by the same-length warmup. A >=512-step
+    # window self-averages the relay's ~20-90 ms dispatch jitter to
+    # <0.2 ms/step, so one timed window suffices. The headline quotes
+    # the SUSTAINED rate of the largest completed leg.
+    sus524 = safe(bench_config, 524288, "treecode", steps=512, windows=1)
+    sus262 = safe(bench_config, 262144, "treecode", steps=512, windows=1)
+    sus65 = safe(bench_config, 65536, "treecode", steps=1024, windows=1)
+    # The reference's own workload size (VERDICT r2 #3): dataset 0 is
+    # N=20,225 padded to 20,480 here; its 1.6 ms/step on the 4090 is the
+    # only number the reference ever published (kernel.cu:73).
+    tree20 = safe(bench_config, 20480, "treecode", steps=args.steps or 256)
+    exact20 = safe(bench_config, 20480, "pallas_symmetric",
+                   steps=args.steps or 64)
     exact = safe(bench_config, 65536, "pallas_symmetric",
                  steps=args.steps or 16)
     ms_render = safe(bench_render, 65536, "pallas_symmetric")
 
-    head = next((t for t in (tree524, tree, tree65) if t is not None), None)
+    # Headline = the SUSTAINED rate of the largest completed leg
+    # (windowed numbers ride alongside; a multiplier that only holds for
+    # 32-step windows is soft — VERDICT r2).
+    head = next((t for t in (sus524, sus262, sus65, tree524, tree, tree65)
+                 if t is not None), None)
     if head is None:
         print("bench: every treecode leg failed; no headline to report",
               file=sys.stderr)
         sys.exit(1)
     report = {
         "metric": "effective pairwise interactions/sec/chip "
-                  f"(treecode, N={head['n']})",
+                  f"(treecode sustained, N={head['n']})",
         "value": head["pairs_per_sec"],
         "unit": "pairs/s",
         "vs_baseline": head["pairs_per_sec"] / BASELINE,
@@ -204,12 +226,19 @@ def main() -> None:
         "solver": "treecode",
         "backend": backend,
     }
-    for tag, leg in (("524k", tree524), ("262k", tree), ("65k", tree65)):
+    for tag, leg in (("524k", tree524), ("262k", tree), ("65k", tree65),
+                     ("20k", tree20),
+                     ("sustained_524k", sus524), ("sustained_262k", sus262),
+                     ("sustained_65k", sus65)):
         if leg is not None:
             report[f"tree_pairs_per_sec_{tag}"] = leg["pairs_per_sec"]
             report[f"tree_ms_per_step_{tag}"] = leg["ms_per_step"]
             report[f"tree_vs_baseline_{tag}"] = leg["pairs_per_sec"] / BASELINE
             report[f"tree_force_err_p99_{tag}"] = leg.get("force_err_p99")
+    if exact20 is not None:
+        report["exact_pairs_per_sec_20k"] = exact20["pairs_per_sec"]
+        report["exact_ms_per_step_20k"] = exact20["ms_per_step"]
+        report["exact_vs_baseline_20k"] = exact20["pairs_per_sec"] / BASELINE
     if exact is not None:
         report["exact_pairs_per_sec_65k"] = exact["pairs_per_sec"]
         report["exact_ms_per_step_65k"] = exact["ms_per_step"]
