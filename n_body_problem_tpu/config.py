@@ -61,7 +61,11 @@ class SimConfig:
     pallas_sym_precision: str = "f32"   # "f32" exact | "bf16x3" fast-math
     # --- treecode solver (ops/treecode.py; requires Morton-sorted bodies,
     # Simulation auto-enables morton_sort for it) ---
-    tree_tile: int = 32        # target-row Morton tile (output granularity)
+    tree_tile: int = 0         # target-row Morton tile (output granularity);
+                               # 0 = auto: 128 on the hierarchical flat path
+                               # (near-work is flat in the row size there —
+                               # measured — and wide rows feed the far
+                               # kernel), 32 otherwise
     tree_src_tile: int = 64    # SOURCE tile of the flat path (asymmetric
                                # acceptance: bigger sources shrink the
                                # bookkeeping, thicken the exact near shell;
@@ -88,6 +92,12 @@ class SimConfig:
                                # path headroom for inter-rebuild drift)
     tree_flat_cap: int = 0     # compacted work-list capacity; 0 = auto on
                                # TPU (mean-bound near cost), -1 = disable
+    tree_hier: bool = True     # multi-level far field on the flat path:
+                               # binary merge hierarchy + compacted far
+                               # lists + RMS-amplitude MAC (round 3); off
+                               # falls back to the single-level masked far
+    tree_far_cap: int = 0      # hierarchical far-list capacity; 0 = auto
+    tree_far_max: int = 0      # per-target far-list bound; 0 = auto
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps
@@ -122,10 +132,11 @@ class SimConfig:
             raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
         if self.tree_mac_tau < 0:
             raise ValueError(f"tree_mac_tau must be >= 0, got {self.tree_mac_tau}")
-        if self.tree_src_tile % self.tree_tile:
+        if self.tree_tile and (self.tree_src_tile % self.tree_tile
+                               and self.tree_tile % self.tree_src_tile):
             raise ValueError(
-                f"tree_src_tile ({self.tree_src_tile}) must be a multiple "
-                f"of tree_tile ({self.tree_tile})"
+                f"tree_src_tile ({self.tree_src_tile}) and tree_tile "
+                f"({self.tree_tile}) must be multiples of one another"
             )
         if self.tree_rebuild_every < 1:
             raise ValueError("tree_rebuild_every must be >= 1")

@@ -83,11 +83,35 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
         from n_body_problem_tpu.ops import treecode
 
         max_near = cfg.tree_max_near or treecode.DEFAULT_MAX_NEAR
+        tile = cfg.tree_tile or 32
+        if cfg.tree_hier and cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0:
+            # Hierarchical production path (multi-level compacted far
+            # lists); acceptance built fresh per call — Simulation.run
+            # caches it across tree_rebuild_every steps instead.
+            hsel = dict(tile=tile, src_tile=cfg.tree_src_tile,
+                        theta=cfg.tree_theta, max_near=max_near,
+                        vip_tiles=cfg.tree_vip_tiles)
+
+            def hier_force(pos, mass):
+                x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+                aux = treecode.build_tree_hier_cols(
+                    x, y, z, mass, slack=cfg.tree_near_slack,
+                    flat_cap=cfg.tree_flat_cap, far_max=cfg.tree_far_max,
+                    far_cap=cfg.tree_far_cap, mac_tau=cfg.tree_mac_tau,
+                    eps2=cfg.eps2, compensate=cfg.compensate, **hsel)
+                ax, ay, az = treecode.treecode_acc_hier_cols(
+                    x, y, z, mass, aux, far_max=cfg.tree_far_max,
+                    **kw, **hsel)
+                import jax.numpy as _jnp
+
+                return _jnp.stack([ax, ay, az], axis=1)
+
+            return hier_force
         if cfg.tree_flat_cap > 0:
             # The flat (asymmetric, mean-bound) production path; builds
             # its acceptance fresh per call — Simulation.run caches it
             # across tree_rebuild_every steps instead.
-            sel = dict(tile=cfg.tree_tile, src_tile=cfg.tree_src_tile,
+            sel = dict(tile=tile, src_tile=cfg.tree_src_tile,
                        theta=cfg.tree_theta, max_near=max_near,
                        vip_tiles=cfg.tree_vip_tiles)
 
@@ -101,7 +125,7 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
 
             return flat_force
         return lambda pos, mass: treecode.treecode_acc(
-            pos, mass, tile=cfg.tree_tile, theta=cfg.tree_theta,
+            pos, mass, tile=tile, theta=cfg.tree_theta,
             max_near=max_near, vip_tiles=cfg.tree_vip_tiles,
             mac_tau=cfg.tree_mac_tau, **kw
         )

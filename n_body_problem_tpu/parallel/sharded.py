@@ -37,6 +37,10 @@ class ShardedSimulation:
         axis_name: str = RING_AXIS,
         local_solver: str = "xla",
     ):
+        if cfg.tree_tile == 0:
+            # The sharded treecode runs the single-level flat path; the
+            # hierarchical far field is single-chip-only so far.
+            cfg = cfg.replace(tree_tile=32)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_ring_mesh()
         self.strategy = strategy

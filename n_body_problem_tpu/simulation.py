@@ -60,8 +60,10 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
     from n_body_problem_tpu.ops.treecode import (
         build_tree,
         build_tree_flat_cols,
+        build_tree_hier_cols,
         treecode_acc,
         treecode_acc_flat_cols,
+        treecode_acc_hier_cols,
     )
     from n_body_problem_tpu.utils.morton import device_resort, resort_cols
 
@@ -74,6 +76,7 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
     flat_cap = cfg.tree_flat_cap
     src = cfg.tree_src_tile
     dt = cfg.dt
+    use_hier = cfg.tree_hier and flat_cap > 0 and cfg.tree_far_cap > 0
 
     if flat_cap > 0:
         # Columnar fast path: the whole run carries twelve (N,) columns
@@ -85,13 +88,24 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
         def chunk_cols(cols, length: int, n_real: int):
             cols = resort_cols(cols, n_real)
             x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols
-            aux = build_tree_flat_cols(x, y, z, m, src_tile=src,
-                                       slack=cfg.tree_near_slack,
-                                       flat_cap=flat_cap, **bsel)
+            if use_hier:
+                aux = build_tree_hier_cols(
+                    x, y, z, m, src_tile=src, slack=cfg.tree_near_slack,
+                    flat_cap=flat_cap, far_max=cfg.tree_far_max,
+                    far_cap=cfg.tree_far_cap, **bsel)
 
-            def force(px, py, pz):
-                return treecode_acc_flat_cols(px, py, pz, m, aux,
-                                              src_tile=src, **kw)
+                def force(px, py, pz):
+                    return treecode_acc_hier_cols(
+                        px, py, pz, m, aux, src_tile=src,
+                        far_max=cfg.tree_far_max, **kw)
+            else:
+                aux = build_tree_flat_cols(x, y, z, m, src_tile=src,
+                                           slack=cfg.tree_near_slack,
+                                           flat_cap=flat_cap, **bsel)
+
+                def force(px, py, pz):
+                    return treecode_acc_flat_cols(px, py, pz, m, aux,
+                                                  src_tile=src, **kw)
 
             if cfg.integrator == "semi_implicit_euler":
                 def body(c, _):
@@ -308,6 +322,28 @@ class Simulation:
         from n_body_problem_tpu.state import pad_state_to
 
         solver = resolve_solver(cfg.solver, backend, state.n)
+        if solver == "treecode" and cfg.tree_tile == 0:
+            # Resolve the auto target-row granularity BEFORE padding (the
+            # padding requirement depends on it): 128 on the hierarchical
+            # flat path, 32 otherwise.
+            from n_body_problem_tpu.ops.treecode import (
+                CHUNK_LANES as _CL,
+                DEFAULT_HIER_TILE,
+            )
+
+            hier_flat = (
+                cfg.tree_hier
+                and state.n >= _CL
+                and (
+                    (cfg.tree_flat_cap == 0
+                     and (backend or jax.default_backend()) == "tpu")
+                    or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0)
+                )
+            )
+            cfg = cfg.replace(
+                tree_tile=DEFAULT_HIER_TILE if hier_flat else 32)
+        elif cfg.tree_tile == 0:
+            cfg = cfg.replace(tree_tile=32)
         if solver == "treecode" and not (cfg.morton_sort or cfg.resort_every):
             # The treecode's acceptance works on contiguous Morton tiles;
             # unsorted bodies would be silently inaccurate AND slow.
@@ -339,6 +375,7 @@ class Simulation:
             from n_body_problem_tpu.ops.treecode import (
                 CHUNK_LANES,
                 suggest_flat_cap,
+                suggest_hier,
                 suggest_max_near,
             )
 
@@ -348,25 +385,46 @@ class Simulation:
                 and state.n >= CHUNK_LANES
                 and state.n % cfg.tree_src_tile == 0
             )
-            # The flat path counts near capacity in SOURCE tiles; the
-            # dense path in target tiles.
-            src = (cfg.tree_src_tile
-                   if use_flat or cfg.tree_flat_cap > 0 else None)
+            use_hier = cfg.tree_hier and (
+                use_flat or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0)
+            )
             mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
                        compensate=cfg.compensate)
-            if cfg.tree_max_near == 0:
-                cfg = cfg.replace(tree_max_near=suggest_max_near(
+            if use_hier:
+                # The hierarchical planner sizes all four capacities
+                # consistently (its RMS-amplitude MAC and absolute-tau
+                # threshold give different counts than the single-level
+                # criterion, so the old planners would mis-size it).
+                caps = suggest_hier(
                     state.pos, state.mass, tile=cfg.tree_tile,
-                    theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
-                    src_tile=src, **mac,
-                ))
-            if use_flat:
-                cfg = cfg.replace(tree_flat_cap=suggest_flat_cap(
-                    state.pos, state.mass, tile=cfg.tree_tile,
-                    src_tile=cfg.tree_src_tile,
-                    theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                    src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
+                    vip_tiles=cfg.tree_vip_tiles,
                     slack=cfg.tree_near_slack, **mac,
-                ))
+                )
+                for field, key in (("tree_max_near", "max_near"),
+                                   ("tree_flat_cap", "flat_cap"),
+                                   ("tree_far_max", "far_max"),
+                                   ("tree_far_cap", "far_cap")):
+                    if getattr(cfg, field) == 0:
+                        cfg = cfg.replace(**{field: caps[key]})
+            else:
+                # The flat path counts near capacity in SOURCE tiles; the
+                # dense path in target tiles.
+                src = (cfg.tree_src_tile
+                       if use_flat or cfg.tree_flat_cap > 0 else None)
+                if cfg.tree_max_near == 0:
+                    cfg = cfg.replace(tree_max_near=suggest_max_near(
+                        state.pos, state.mass, tile=cfg.tree_tile,
+                        theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                        src_tile=src, **mac,
+                    ))
+                if use_flat:
+                    cfg = cfg.replace(tree_flat_cap=suggest_flat_cap(
+                        state.pos, state.mass, tile=cfg.tree_tile,
+                        src_tile=cfg.tree_src_tile,
+                        theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                        slack=cfg.tree_near_slack, **mac,
+                    ))
             self.cfg = cfg
         if cfg.integrator == "leapfrog":
             state = jax.jit(functools.partial(

@@ -218,3 +218,30 @@ def test_suggest_hier_caps_are_sufficient():
     w = np.maximum(((far + tc.FAR_ENTRIES - 1) // tc.FAR_ENTRIES)
                    * tc.FAR_ENTRIES, tc.FAR_ENTRIES)
     assert caps["far_cap"] >= w.sum()
+
+
+def test_hier_simulation_end_to_end():
+    """Full Simulation wiring: explicit flat+far caps enable the
+    hierarchical scanned run on CPU; auto-planning fills the rest; the
+    trajectory stays close to the exact solver over a short span."""
+    from n_body_problem_tpu import SimConfig, Simulation
+
+    n = 4096
+    cfg = SimConfig(solver="treecode", tree_flat_cap=64 * 32 * 4,
+                    tree_far_cap=32 * tc.FAR_ENTRIES * 8,
+                    tree_vip_tiles=8, tree_rebuild_every=4, donate=False)
+    st = models.plummer(n, seed=11)
+    sim = Simulation(cfg, st)
+    assert sim.cfg.tree_tile == tc.DEFAULT_HIER_TILE
+    assert sim.cfg.tree_far_max > 0 and sim.cfg.tree_max_near > 0
+    sim.run(8)
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+    ref = Simulation(SimConfig(solver="direct", donate=False),
+                     models.plummer(n, seed=11))
+    ref.run(8)
+    inv = np.empty(n, int)
+    inv[np.asarray(sim.sort_perm)] = np.arange(n)
+    delta = np.abs(np.asarray(sim.state.pos[:n])[inv]
+                   - np.asarray(ref.state.pos[:n])).max()
+    assert delta < 1e-3, delta
