@@ -2003,7 +2003,11 @@ def _summary_panel(levels):
     qs = [jnp.concatenate([lv[6][i] for lv in levels]) for i in range(6)]
     tr = qs[0] + qs[1] + qs[2]
     summ = jnp.stack([cat(0), cat(1), cat(2), cat(3)] + qs + [tr], axis=1)
-    return jnp.pad(summ, ((0, 1), (0, 128 - summ.shape[1])))
+    summ = jnp.pad(summ, ((0, 1), (0, 128 - summ.shape[1])))
+    # (K+1, 1, 128): a (1, 1, 128) block satisfies Mosaic's last-two-dims
+    # rule (the sublane dim equals the array dim), like the far mask in
+    # _far_field_pallas_cols.
+    return summ[:, None, :]
 
 
 def _far_hier_kernel(ctgt_ref, fsrc_ref, rows_ref, acc_ref, *refs,
@@ -2025,7 +2029,7 @@ def _far_hier_kernel(ctgt_ref, fsrc_ref, rows_ref, acc_ref, *refs,
 
     @pl.when(tgt != k_t)
     def _():
-        s = jnp.concatenate([refs[e][...] for e in range(entries)], axis=0)
+        s = jnp.concatenate([refs[e][0] for e in range(entries)], axis=0)
         xi = rows_ref[0, 0:1, :]                    # (1, T)
         yi = rows_ref[0, 1:2, :]
         zi = rows_ref[0, 2:3, :]
@@ -2089,7 +2093,7 @@ def _far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt, *,
     gc = G * math.sqrt(c2)
 
     def make_map(s):
-        return lambda p, ct, fs: (fs[p * FAR_ENTRIES + s], 0)
+        return lambda p, ct, fs: (fs[p * FAR_ENTRIES + s], 0, 0)
 
     seg = max(1, min(n_chunks, seg_budget // (FAR_ENTRIES + 1)))
     for start in range(0, n_chunks, seg):
@@ -2100,7 +2104,7 @@ def _far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt, *,
             in_specs=[
                 pl.BlockSpec((1, 4, tile), lambda p, ct, fs: (ct[p], 0, 0)),
                 pl.BlockSpec((1, 8, tile), lambda p, ct, fs: (ct[p], 0, 0)),
-            ] + [pl.BlockSpec((1, 128), make_map(s))
+            ] + [pl.BlockSpec((1, 1, 128), make_map(s))
                  for s in range(FAR_ENTRIES)],
             out_specs=pl.BlockSpec((1, 8, tile),
                                    lambda p, ct, fs: (ct[p], 0, 0)),
