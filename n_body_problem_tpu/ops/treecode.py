@@ -1915,10 +1915,16 @@ def _hier_static(n, tile, src_tile, theta, max_near, vip_tiles, far_max,
                  branch):
     k_t, k_s, entries, max_near, vip_src = _flat_static(
         n, tile, src_tile, theta, max_near, vip_tiles)
+    if k_s < FAR_ENTRIES:
+        # A smaller K would make far_max // FAR_ENTRIES zero chunks per
+        # row and silently drop the whole far field.
+        raise ValueError(
+            f"hierarchical treecode needs K_src >= {FAR_ENTRIES} "
+            f"(N >= {FAR_ENTRIES * src_tile}); use the flat path")
     plan = _level_plan(k_s, branch)
     k_total = sum(plan)
     far_max = max(-(-far_max // FAR_ENTRIES) * FAR_ENTRIES, FAR_ENTRIES)
-    far_max = min(far_max, k_total - (k_total % FAR_ENTRIES) or k_total)
+    far_max = min(far_max, (k_total // FAR_ENTRIES) * FAR_ENTRIES)
     return k_t, k_s, entries, max_near, vip_src, plan, k_total, far_max
 
 

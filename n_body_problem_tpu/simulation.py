@@ -331,9 +331,11 @@ class Simulation:
                 DEFAULT_HIER_TILE,
             )
 
+            from n_body_problem_tpu.ops.treecode import FAR_ENTRIES as _FE
+
             hier_flat = (
                 cfg.tree_hier
-                and state.n >= _CL
+                and state.n >= max(_CL, _FE * cfg.tree_src_tile)
                 and (
                     (cfg.tree_flat_cap == 0
                      and (backend or jax.default_backend()) == "tpu")
@@ -385,8 +387,13 @@ class Simulation:
                 and state.n >= CHUNK_LANES
                 and state.n % cfg.tree_src_tile == 0
             )
-            use_hier = cfg.tree_hier and (
-                use_flat or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0)
+            from n_body_problem_tpu.ops.treecode import FAR_ENTRIES
+
+            use_hier = (
+                cfg.tree_hier
+                and state.n >= FAR_ENTRIES * cfg.tree_src_tile
+                and (use_flat
+                     or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0))
             )
             mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
                        compensate=cfg.compensate)

@@ -161,8 +161,8 @@ def test_hier_exact_limit():
     """tau -> 0 opens everything: the near field computes every pair
     exactly and the far lists are empty; the result must match the
     direct sum to kernel rounding."""
-    pos, mass = _sorted_plummer(2048, seed=5)
-    k_s = 2048 // 64
+    pos, mass = _sorted_plummer(4096, seed=5)
+    k_s = 4096 // 64
     kw = dict(tile=128, src_tile=64, vip_tiles=0, mac_tau=1e-12,
               eps2=EPS2, compensate=COMP)
     aux, caps = _hier_aux(pos, mass, **kw)
