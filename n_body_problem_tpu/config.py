@@ -82,8 +82,9 @@ class SimConfig:
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
                                # (in source tiles on the flat path)
     tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
-                               # (counted in tree_tile units; the flat path
-                               # keeps the same exact-body budget)
+                               # (counted in fixed 32-body units — a
+                               # 4,096-body exact budget independent of
+                               # tree_tile; see ops.treecode._vip_src_tiles)
     tree_rebuild_every: int = 8   # device re-sort + acceptance rebuild
                                   # cadence inside Simulation.run (near
                                   # counts grow ~12% over 8 steps; the

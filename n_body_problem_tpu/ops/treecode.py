@@ -375,9 +375,19 @@ def _clamp_vip(vip_tiles: int, k: int) -> int:
 
 
 def _vip_src_tiles(vip_tiles: int, tile: int, src_tile: int) -> int:
-    """Re-express the VIP capacity (configured in ``tile``-body tiles) at
-    the SOURCE granularity, preserving the exact-body budget."""
-    return max(int(vip_tiles * tile // src_tile), 1 if vip_tiles else 0)
+    """Re-express the VIP capacity at the SOURCE granularity.
+
+    ``vip_tiles`` is counted in fixed ``DEFAULT_TILE`` (32)-body units
+    regardless of the target-row ``tile``: the VIP budget is an
+    exact-body budget (128 units = 4,096 bodies by default) and the
+    halo-tile pathology it patches lives at SOURCE granularity, so the
+    output-row granularity must not scale it. (Scaling by ``tile``
+    silently quadrupled the hierarchical path's N x V VIP sweep at
+    tile=128 — measured ~8 ms of its 15.6 ms step at N=65,536 — with no
+    accuracy rationale.)"""
+    del tile
+    return max(int(vip_tiles * DEFAULT_TILE // src_tile),
+               1 if vip_tiles else 0)
 
 
 def suggest_max_near(
