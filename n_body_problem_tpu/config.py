@@ -95,8 +95,16 @@ class SimConfig:
                                # TPU (mean-bound near cost), -1 = disable
     tree_hier: bool = True     # multi-level far field on the flat path:
                                # binary merge hierarchy + compacted far
-                               # lists + RMS-amplitude MAC (round 3); off
+                               # lists + octupole-bound MAC (round 3); off
                                # falls back to the single-level masked far
+    tree_hier_tau: float = 0.03  # hierarchical MAC tolerance: open a node
+                               # iff m rms^2 r_max / (d - r_max)^5 exceeds
+                               # tau x the median body acceleration. Own
+                               # scale (the convergence-aware distance
+                               # changes the score's units of magnitude);
+                               # calibrated on the measured per-node error
+                               # frontier (docs/acceptance.md). 0 falls
+                               # back to the geometric theta criterion.
     tree_far_cap: int = 0      # hierarchical far-list capacity; 0 = auto
     tree_far_max: int = 0      # per-target far-list bound; 0 = auto
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
@@ -133,6 +141,9 @@ class SimConfig:
             raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
         if self.tree_mac_tau < 0:
             raise ValueError(f"tree_mac_tau must be >= 0, got {self.tree_mac_tau}")
+        if self.tree_hier_tau < 0:
+            raise ValueError(
+                f"tree_hier_tau must be >= 0, got {self.tree_hier_tau}")
         if self.tree_tile and (self.tree_src_tile % self.tree_tile
                                and self.tree_tile % self.tree_src_tile):
             raise ValueError(

@@ -1770,6 +1770,10 @@ def treecode_acc(
 # The reference has no tree at all; `kernel.cu:73` is cited as the perf
 # target only.
 HIER_BRANCH = 2
+DEFAULT_HIER_TAU = 0.03   # hier MAC tolerance (own scale: the (d-r)^5
+                          # convergence-aware denominator shifts the
+                          # score magnitudes; calibrated frontier in
+                          # docs/acceptance.md)
 FAR_ENTRIES = 64          # far-list node entries per kernel grid step
 HIER_MIN_NODES = 16       # coarsest level keeps at least this many nodes
 DEFAULT_HIER_TILE = 128   # target-row granularity of the hierarchical
@@ -1871,11 +1875,41 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
     ranking (self rows forced +inf).
 
     ``mac_tau > 0``: open node j for target row i iff
-    m_j rms_j^3 / d_ij^5 > tau * a_med with d = per-body-union min
-    distance (the same union test as the single-level path). Ancestors
-    CONTAINING the target row open automatically (d ~ 0 -> huge score),
-    so the chain always reaches the target's own neighbourhood exactly.
+
+        m_j rms_j^2 r_j / (d_ij - r_j)^5  >  tau * a_med
+
+    with d = per-body-union min distance to the node com (the same
+    union test as the single-level path), rms the mass-weighted RMS
+    radius and r the bounding radius. Two measured calibration lessons
+    (N=32,768 Plummer, exact-vs-quadrupole error on every (row, node)
+    pair; docs/acceptance.md):
+
+      * numerator m rms^2 r_max: each third moment is truly bounded by
+        the second moment times the max radius, so this bounds the
+        octupole coefficient — m rms^3 underestimates it up to 46x for
+        mass-skewed nodes, m r^3 overestimates ~10x for centrally
+        concentrated ones;
+      * denominator (d - r)^5, not d^5: the worst violators all sat at
+        d/r in [1.1, 1.7], where the multipole series barely converges
+        and EVERY polynomial estimate underestimates by the geometric
+        factor 1/(1 - r/d)^k. Measuring distance from the bounding
+        sphere's surface makes the tail sound: at matched near-work the
+        per-node p99.9 error drops ~4x, and nodes with d <= r are
+        structurally never accepted (delta clamps to _TINY -> huge
+        score).
+
     ``mac_tau == 0``: geometric bounding-radius/theta test per level.
+
+    At EVERY level, a node whose body range overlaps the target row is
+    forced open (score +inf) by the static index test — containment is
+    a property of the Morton layout, not geometry. This is load-bearing:
+    a light, spatially wide ancestor (halo) that contains the target can
+    have a tiny MAC score (small m, min-body-to-com distance ~ its rms
+    radius), and accepting it evaluates the target's OWN neighbourhood —
+    target included — as a point multipole. Measured before the guard at
+    N=32,768/tau=2e-4: 84/1024 target rows had an accepted
+    self-containing ancestor and the far-field p99 was 5.0e-3; the
+    guard removes the entire tail (see docs/acceptance.md).
     """
     cx0, cy0, cz0, m0, _, _, _ = levels[0]
     com0 = jnp.stack([cx0, cy0, cz0], axis=1)
@@ -1889,17 +1923,20 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
         com = com0 if lvl == 0 else jnp.stack([cx, cy, cz], axis=1)
         min_d = jnp.maximum(_min_tile_dist(xc, yc, zc, com, tile), _TINY)
         if mac_tau > 0:
-            amp = m * rms2 * jnp.sqrt(rms2)
-            d5 = jnp.square(jnp.square(min_d)) * min_d
+            amp = m * rms2 * radius
+            delta = jnp.maximum(min_d - radius[None, :], _TINY)
+            d5 = jnp.square(jnp.square(delta)) * delta
             score = amp[None, :] / d5 / a_med
             thresh = mac_tau
         else:
             score = radius[None, :] / min_d
             thresh = theta
+        k_l = score.shape[1]
+        node_bodies = xc.shape[0] // k_l  # bodies per level-lvl node
+        score = jnp.where(
+            _self_overlap(k_t, k_l, tile, node_bodies, row_offset),
+            jnp.inf, score)
         if lvl == 0:
-            score = jnp.where(
-                _self_overlap(k_t, score.shape[1], tile, src_tile,
-                              row_offset), jnp.inf, score)
             score0, thresh0 = score, thresh
         opens.append(score > thresh)
         minds.append(min_d)
@@ -1951,7 +1988,7 @@ def build_tree_hier_cols(
     far_max: int,
     far_cap: int,
     branch: int = HIER_BRANCH,
-    mac_tau: float = DEFAULT_MAC_TAU,
+    mac_tau: float = DEFAULT_HIER_TAU,
     eps2: float = 1e-6,
     compensate: float = 0.1,
 ):
@@ -2241,7 +2278,7 @@ def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                 theta: float = DEFAULT_THETA,
                 vip_tiles: int = DEFAULT_VIP_TILES,
                 branch: int = HIER_BRANCH,
-                mac_tau: float = DEFAULT_MAC_TAU,
+                mac_tau: float = DEFAULT_HIER_TAU,
                 eps2: float = 1e-6,
                 compensate: float = 0.1):
     """(near_count (K_t,), far_count (K_t,)) of the hierarchical chain on
@@ -2275,7 +2312,7 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                  vip_tiles: int = DEFAULT_VIP_TILES,
                  slack: int = DEFAULT_NEAR_SLACK,
                  branch: int = HIER_BRANCH,
-                 mac_tau: float = DEFAULT_MAC_TAU,
+                 mac_tau: float = DEFAULT_HIER_TAU,
                  eps2: float = 1e-6,
                  compensate: float = 0.1,
                  margin: float = 1.3,

@@ -92,7 +92,8 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                 aux = build_tree_hier_cols(
                     x, y, z, m, src_tile=src, slack=cfg.tree_near_slack,
                     flat_cap=flat_cap, far_max=cfg.tree_far_max,
-                    far_cap=cfg.tree_far_cap, **bsel)
+                    far_cap=cfg.tree_far_cap,
+                    **dict(bsel, mac_tau=cfg.tree_hier_tau))
 
                 def force(px, py, pz):
                     return treecode_acc_hier_cols(
@@ -398,6 +399,7 @@ class Simulation:
             mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
                        compensate=cfg.compensate)
             if use_hier:
+                mac = dict(mac, mac_tau=cfg.tree_hier_tau)
                 # The hierarchical planner sizes all four capacities
                 # consistently (its RMS-amplitude MAC and absolute-tau
                 # threshold give different counts than the single-level

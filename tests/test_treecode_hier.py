@@ -95,7 +95,7 @@ def test_chain_coverage_partition():
     levels = tc._level_summaries(x, y, z, mass_tree, src, plan,
                                  tc.HIER_BRANCH)
     opens, _, _, _ = tc._hier_open_masks(
-        x, y, z, levels, tile, src, mac_tau=2e-4, theta=0.55,
+        x, y, z, levels, tile, src, mac_tau=tc.DEFAULT_HIER_TAU, theta=0.55,
         eps2=EPS2, c2=COMP * COMP)
     evals, reach0 = tc._chain_evals(opens, tc.HIER_BRANCH)
     near = np.asarray(reach0 & opens[0])
@@ -112,8 +112,8 @@ def test_hier_force_error_envelope():
     """End-to-end hierarchical force vs the exact oracle: the p99
     relative error stays in the expected MAC class."""
     pos, mass = _sorted_plummer(8192, seed=3)
-    kw = dict(tile=128, src_tile=64, vip_tiles=128, mac_tau=2e-4,
-              eps2=EPS2, compensate=COMP)
+    kw = dict(tile=128, src_tile=64, vip_tiles=128,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
     aux, caps = _hier_aux(pos, mass, **kw)
     acc = _hier_acc(pos, mass, aux, caps,
                     tile=128, src_tile=64, vip_tiles=128)
@@ -126,15 +126,15 @@ def test_hier_force_error_envelope():
 
 
 def test_hier_matches_flat_quality():
-    """The hierarchical path must be at least as accurate as the
-    single-level flat path at the same tau (it computes the SAME near
+    """The hierarchical path must stay in the flat path's error class
+    at the default taus (it computes the SAME near
     field and replaces distant level-0 multipoles with coarser nodes
     only where the MAC allows)."""
     pos, mass = _sorted_plummer(8192, seed=4)
     exact = np.asarray(direct_acc(pos, mass, eps2=EPS2, compensate=COMP))
 
-    kw = dict(tile=128, src_tile=64, vip_tiles=128, mac_tau=2e-4,
-              eps2=EPS2, compensate=COMP)
+    kw = dict(tile=128, src_tile=64, vip_tiles=128,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
     aux, caps = _hier_aux(pos, mass, **kw)
     acc_h = _hier_acc(pos, mass, aux, caps,
                       tile=128, src_tile=64, vip_tiles=128)
@@ -179,8 +179,8 @@ def test_hier_far_overflow_sheds_weakest():
     """A deliberately small far_cap must stay finite and lose only the
     weakest contributors (error grows but stays bounded)."""
     pos, mass = _sorted_plummer(8192, seed=6)
-    kw = dict(tile=128, src_tile=64, vip_tiles=128, mac_tau=2e-4,
-              eps2=EPS2, compensate=COMP)
+    kw = dict(tile=128, src_tile=64, vip_tiles=128,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
     caps = tc.suggest_hier(pos, mass, **kw)
     small = dict(caps)
     k_t = 8192 // 128
@@ -204,8 +204,8 @@ def test_suggest_hier_caps_are_sufficient():
     """The planner's capacities must hold the uncapped demand with
     margin (no silent far shedding on the distribution it planned)."""
     pos, mass = _sorted_plummer(8192, seed=7)
-    kw = dict(tile=128, src_tile=64, vip_tiles=128, mac_tau=2e-4,
-              eps2=EPS2, compensate=COMP)
+    kw = dict(tile=128, src_tile=64, vip_tiles=128,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
     caps = tc.suggest_hier(pos, mass, **kw)
     near, far = tc.hier_counts(pos, mass, **kw)
     near = np.asarray(near)
