@@ -1870,7 +1870,7 @@ def _level_summaries(xc, yc, zc, mass, src_tile: int, plan, branch: int):
 
 def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
                      mac_tau: float, theta: float, eps2: float, c2: float,
-                     row_offset=0):
+                     row_offset=0, a_med=None):
     """Per-level (opens, min_d) + the level-0 score matrix for near
     ranking (self rows forced +inf).
 
@@ -1913,7 +1913,10 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
     """
     cx0, cy0, cz0, m0, _, _, _ = levels[0]
     com0 = jnp.stack([cx0, cy0, cz0], axis=1)
-    if mac_tau > 0:
+    if mac_tau > 0 and a_med is None:
+        # a_med defaults to the median over the rows in xc; the sharded
+        # path passes the GLOBAL population's median instead so every
+        # chip uses the identical acceptance threshold.
         a_med = jnp.maximum(
             _median_monopole_acc(xc, yc, zc, com0, m0, eps2=eps2, c2=c2),
             _TINY)
@@ -1932,7 +1935,9 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
             score = radius[None, :] / min_d
             thresh = theta
         k_l = score.shape[1]
-        node_bodies = xc.shape[0] // k_l  # bodies per level-lvl node
+        # bodies per level-lvl node, from the GLOBAL level-0 node count
+        # (xc may be a local row shard on a future sharded-hier path)
+        node_bodies = levels[0][0].shape[0] * src_tile // k_l
         score = jnp.where(
             _self_overlap(k_t, k_l, tile, node_bodies, row_offset),
             jnp.inf, score)
@@ -2268,6 +2273,127 @@ def treecode_acc_hier_cols(
     return ax, ay, az
 
 
+def build_hier_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
+                     src_tile: int, theta: float, max_near: int,
+                     vip_tiles: int, slack: int, flat_cap: int,
+                     far_max: int, far_cap: int, row_offset,
+                     branch: int = HIER_BRANCH,
+                     mac_tau: float = DEFAULT_HIER_TAU,
+                     eps2: float = 1e-6, compensate: float = 0.1):
+    """Hierarchical acceptance for LOCAL target rows against GLOBAL
+    sources (inside shard_map — the multi-level analogue of
+    :func:`build_flat_local`). Every chip computes the identical global
+    VIP split and level summaries from replicated columns, then compacts
+    near AND far work lists for its own contiguous row block only.
+    ``flat_cap``/``far_cap`` are PER-CHIP capacities.
+
+    Returns ``(flat_src, chunk_tgt, far_src, far_tgt, is_vip_g)``.
+    """
+    n_g = xg.shape[0]
+    (k_t, k_s, entries, max_near, vip_src, plan, k_total,
+     far_max) = _hier_static(n_g, tile, src_tile, theta, max_near,
+                             vip_tiles, far_max, branch)
+    f32 = jnp.float32
+    xl, yl, zl = xl.astype(f32), yl.astype(f32), zl.astype(f32)
+    c2 = compensate * compensate
+    if vip_src:
+        mass_tree_g, _, is_vip_g = _vip_split(xg, yg, zg, mass_g,
+                                              src_tile, vip_src)
+    else:
+        is_vip_g = jnp.zeros((n_g,), bool)
+        mass_tree_g = mass_g
+    levels = _level_summaries(xg.astype(f32), yg.astype(f32),
+                              zg.astype(f32), mass_tree_g.astype(f32),
+                              src_tile, plan, branch)
+    # Global a_med so every chip applies the identical threshold (the
+    # local-rows median would differ per chip and split the acceptance).
+    cx0, cy0, cz0, m0 = levels[0][:4]
+    a_med = None
+    if mac_tau > 0:
+        a_med = jnp.maximum(
+            _median_monopole_acc(
+                xg.astype(f32), yg.astype(f32), zg.astype(f32),
+                jnp.stack([cx0, cy0, cz0], axis=1), m0,
+                eps2=eps2, c2=c2),
+            _TINY)
+    opens, minds, score0, thresh0 = _hier_open_masks(
+        xl, yl, zl, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
+        eps2=eps2, c2=c2, row_offset=row_offset, a_med=a_med)
+    evals, reach0 = _chain_evals(opens, branch)
+    score0 = jnp.where(reach0, score0, -1.0)
+    flat_src, chunk_tgt, near_mask = _compact_open_lists(
+        score0, thresh0, slack, flat_cap, entries, max_near)
+    evals[0] = jnp.logical_and(reach0, jnp.logical_not(near_mask))
+    key = jnp.concatenate(
+        [jnp.where(ev, lv[3][None, :] / (md * md), -1.0)
+         for ev, lv, md in zip(evals, levels, minds)], axis=1)
+    far_src, far_tgt, _ = _compact_open_lists(
+        key, 0.0, 0, far_cap, FAR_ENTRIES, far_max)
+    return flat_src, chunk_tgt, far_src, far_tgt, is_vip_g
+
+
+def hier_local_acc(xl, yl, zl, ml, xg, yg, zg, mass_g, aux, *, eps2: float,
+                   compensate: float, G: float, tile: int, src_tile: int,
+                   max_near: int, vip_tiles: int, far_max: int,
+                   theta: float = DEFAULT_THETA,
+                   branch: int = HIER_BRANCH, interpret: bool = False):
+    """Columnar hierarchical acc of LOCAL rows from replicated GLOBAL
+    sources: ``(axl, ayl, azl, react (8, W) | None, vip_body_idx | None)``
+    — the multi-level analogue of :func:`flat_local_acc` (same psum
+    contract for the VIP reactions; see parallel/tree.py)."""
+    flat_src, chunk_tgt, far_src, far_tgt, is_vip_g = aux
+    n_g = xg.shape[0]
+    (_, k_s, _, max_near, vip_src, plan, k_total,
+     far_max) = _hier_static(n_g, tile, src_tile, theta, max_near,
+                             vip_tiles, far_max, branch)
+    c2 = compensate * compensate
+    gc3 = G * c2 * compensate
+    f32 = jnp.float32
+    n_l = xl.shape[0]
+    k_t_l = n_l // tile
+    mass_tree_g = jnp.where(is_vip_g, 0.0, mass_g) if vip_src else mass_g
+    scaled_g = mass_tree_g * f32(gc3)
+    tiles = jnp.stack(
+        [xg.reshape(k_s, src_tile), yg.reshape(k_s, src_tile),
+         zg.reshape(k_s, src_tile), scaled_g.reshape(k_s, src_tile)],
+        axis=1,
+    )
+    tiles = jnp.concatenate([tiles, jnp.zeros((1, 4, src_tile), f32)],
+                            axis=0)
+    accn = _near_field_flat_cols(xl, yl, zl, tiles, flat_src, chunk_tgt,
+                                 eps2=eps2, c2=c2, tile=tile,
+                                 src_tile=src_tile, interpret=interpret)
+    levels = _level_summaries(xg.astype(f32), yg.astype(f32),
+                              zg.astype(f32), mass_tree_g, src_tile, plan,
+                              branch)
+    summ = _summary_panel(levels)
+    accf = _far_field_hier_cols(xl, yl, zl, summ, far_src, far_tgt,
+                                eps2=eps2, c2=c2, G=G, tile=tile,
+                                interpret=interpret)
+    ax = accn[:n_l, 0] + accf[:k_t_l, 0, :].reshape(n_l)
+    ay = accn[:n_l, 1] + accf[:k_t_l, 1, :].reshape(n_l)
+    az = accn[:n_l, 2] + accf[:k_t_l, 2, :].reshape(n_l)
+    if not vip_src:
+        return ax, ay, az, None, None
+    vip_tile_idx = jnp.nonzero(
+        is_vip_g.reshape(k_s, src_tile)[:, 0], size=vip_src, fill_value=0,
+    )[0]
+    vip_body_idx = (vip_tile_idx[:, None] * src_tile
+                    + jnp.arange(src_tile, dtype=jnp.int32)[None, :]
+                    ).reshape(-1)
+    scaled_all_g = mass_g * f32(gc3)
+    action, react = _vip_both_pallas_cols(
+        xl, yl, zl, ml * f32(gc3),
+        xg[vip_body_idx], yg[vip_body_idx], zg[vip_body_idx],
+        scaled_all_g[vip_body_idx],
+        eps2=eps2, c2=c2, interpret=interpret,
+    )
+    ax = ax + action[:, 0]
+    ay = ay + action[:, 1]
+    az = az + action[:, 2]
+    return ax, ay, az, react, vip_body_idx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "src_tile", "theta", "vip_tiles", "branch",
@@ -2341,5 +2467,49 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
     w = np.maximum(rnd(far, FAR_ENTRIES), FAR_ENTRIES)
     far_cap = int(rnd(max(int(math.ceil(w.sum() * far_margin)),
                           k_t * FAR_ENTRIES), FAR_ENTRIES))
+    return {"max_near": max_near, "flat_cap": flat_cap,
+            "far_max": far_max, "far_cap": far_cap}
+
+
+def suggest_hier_sharded(pos, mass, n_dev: int, *,
+                         tile: int = DEFAULT_HIER_TILE,
+                         src_tile: int = DEFAULT_SRC_TILE,
+                         theta: float = DEFAULT_THETA,
+                         vip_tiles: int = DEFAULT_VIP_TILES,
+                         slack: int = DEFAULT_NEAR_SLACK,
+                         branch: int = HIER_BRANCH,
+                         mac_tau: float = DEFAULT_HIER_TAU,
+                         eps2: float = 1e-6,
+                         compensate: float = 0.1,
+                         margin: float = 1.4,
+                         far_margin: float = 1.6) -> dict:
+    """PER-CHIP capacity planner for the sharded hierarchical path.
+
+    ``max_near``/``far_max`` stay global per-row bounds; ``flat_cap``/
+    ``far_cap`` are the worst CHIP BLOCK's demand (core chips' rows open
+    more than halo chips') with a drift margin above the single-chip
+    planner's, like :func:`suggest_flat_cap_sharded`.
+    """
+    near, far = hier_counts(
+        jnp.asarray(pos), jnp.asarray(mass), tile=tile, src_tile=src_tile,
+        theta=theta, vip_tiles=vip_tiles, branch=branch, mac_tau=mac_tau,
+        eps2=eps2, compensate=compensate)
+    near = np.asarray(near)
+    far = np.asarray(far)
+    entries = CHUNK_LANES // src_tile
+    k_t = len(near)
+    if k_t % n_dev:
+        raise ValueError(f"K_t={k_t} not divisible by n_dev={n_dev}")
+    rnd = lambda v, e: ((v + e - 1) // e) * e
+    max_near = int(rnd(int(math.ceil(near.max() * margin)), entries))
+    v = np.maximum(rnd(near + slack, entries), entries)
+    per_chip = v.reshape(n_dev, k_t // n_dev).sum(axis=1)
+    flat_cap = int(rnd(max(int(math.ceil(per_chip.max() * margin)),
+                           (k_t // n_dev) * entries), entries))
+    far_max = int(rnd(int(math.ceil(far.max() * far_margin)), FAR_ENTRIES))
+    w = np.maximum(rnd(far, FAR_ENTRIES), FAR_ENTRIES)
+    per_chip_f = w.reshape(n_dev, k_t // n_dev).sum(axis=1)
+    far_cap = int(rnd(max(int(math.ceil(per_chip_f.max() * far_margin)),
+                          (k_t // n_dev) * FAR_ENTRIES), FAR_ENTRIES))
     return {"max_near": max_near, "flat_cap": flat_cap,
             "far_max": far_max, "far_cap": far_cap}

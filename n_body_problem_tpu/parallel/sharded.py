@@ -38,9 +38,26 @@ class ShardedSimulation:
         local_solver: str = "xla",
     ):
         if cfg.tree_tile == 0:
-            # The sharded treecode runs the single-level flat path; the
-            # hierarchical far field is single-chip-only so far.
-            cfg = cfg.replace(tree_tile=32)
+            # Auto target-row granularity, mirroring Simulation.__init__:
+            # 128 when the per-chip hierarchical far field will engage
+            # (round 3), 32 on the single-level flat/dense paths.
+            from n_body_problem_tpu.ops.treecode import (
+                CHUNK_LANES as _CL,
+                DEFAULT_HIER_TILE as _HT,
+                FAR_ENTRIES as _FE,
+            )
+
+            hier_flat = (
+                strategy == "treecode"
+                and cfg.tree_hier
+                and state.n >= max(_CL, _FE * cfg.tree_src_tile)
+                and (
+                    (cfg.tree_flat_cap == 0
+                     and jax.default_backend() == "tpu")
+                    or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0)
+                )
+            )
+            cfg = cfg.replace(tree_tile=_HT if hier_flat else 32)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_ring_mesh()
         self.strategy = strategy
@@ -110,7 +127,9 @@ class ShardedSimulation:
 
         from n_body_problem_tpu.ops.treecode import (
             CHUNK_LANES,
+            FAR_ENTRIES,
             suggest_flat_cap_sharded,
+            suggest_hier_sharded,
             suggest_max_near,
         )
         from n_body_problem_tpu.parallel.tree import (
@@ -140,21 +159,44 @@ class ShardedSimulation:
         )
         src = (cfg.tree_src_tile
                if use_flat or cfg.tree_flat_cap > 0 else None)
+        use_hier = (
+            cfg.tree_hier
+            and state.n >= FAR_ENTRIES * cfg.tree_src_tile
+            and (state.n // cfg.tree_tile) % n_dev == 0
+            and (use_flat
+                 or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0))
+        )
         mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
                    compensate=cfg.compensate)
-        if cfg.tree_max_near == 0:
-            cfg = cfg.replace(tree_max_near=suggest_max_near(
-                state.pos, state.mass, tile=cfg.tree_tile,
-                theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
-                src_tile=src, **mac,
-            ))
-        if use_flat:
-            cfg = cfg.replace(tree_flat_cap=suggest_flat_cap_sharded(
+        if use_hier:
+            # Per-chip planner (flat_cap/far_cap are worst-chip-block
+            # demands; max_near/far_max stay global per-row bounds).
+            caps = suggest_hier_sharded(
                 state.pos, state.mass, n_dev, tile=cfg.tree_tile,
                 src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
                 vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
-                **mac,
-            ))
+                **dict(mac, mac_tau=cfg.tree_hier_tau),
+            )
+            for field, key in (("tree_max_near", "max_near"),
+                               ("tree_flat_cap", "flat_cap"),
+                               ("tree_far_max", "far_max"),
+                               ("tree_far_cap", "far_cap")):
+                if getattr(cfg, field) == 0:
+                    cfg = cfg.replace(**{field: caps[key]})
+        else:
+            if cfg.tree_max_near == 0:
+                cfg = cfg.replace(tree_max_near=suggest_max_near(
+                    state.pos, state.mass, tile=cfg.tree_tile,
+                    theta=cfg.tree_theta, vip_tiles=cfg.tree_vip_tiles,
+                    src_tile=src, **mac,
+                ))
+            if use_flat:
+                cfg = cfg.replace(tree_flat_cap=suggest_flat_cap_sharded(
+                    state.pos, state.mass, n_dev, tile=cfg.tree_tile,
+                    src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
+                    vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
+                    **mac,
+                ))
         self.cfg = cfg
         self.state = shard_state(state, self.mesh)
         self.sort_perm = init_perm

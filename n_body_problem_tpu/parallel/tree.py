@@ -54,7 +54,9 @@ from n_body_problem_tpu.ops.treecode import (
     _dense_sweep,
     _clamp_vip,
     build_flat_local,
+    build_hier_local,
     flat_local_acc,
+    hier_local_acc,
     tile_summaries,
 )
 from n_body_problem_tpu.parallel.mesh import RING_AXIS
@@ -143,6 +145,12 @@ def _make_sharded_flat_run(cfg: SimConfig, mesh: Mesh,
                tile=tile, src_tile=src, max_near=cfg.tree_max_near,
                vip_tiles=cfg.tree_vip_tiles, interpret=interpret)
     flat_cap = cfg.tree_flat_cap
+    # Hierarchical far field per chip (round 3): same decomposition, the
+    # near/far lists compacted locally from the globally-redundant level
+    # summaries. Requires the per-chip far capacities to be planned
+    # (suggest_hier_sharded via ShardedSimulation).
+    use_hier = (cfg.tree_hier and cfg.tree_far_cap > 0
+                and cfg.tree_far_max > 0)
 
     def local_run(*args):
         *cols_l, n_real, n_steps = args
@@ -165,16 +173,29 @@ def _make_sharded_flat_run(cfg: SimConfig, mesh: Mesh,
                 lax.dynamic_slice(c, (me * n_l,), (n_l,)) for c in srt)
             x, y, z, vx, vy, vz, ax, ay, az, m, eps, ids = cols_l
             xg, yg, zg, mg = srt[0], srt[1], srt[2], srt[9]
-            aux = build_flat_local(
-                x, y, z, xg, yg, zg, mg, slack=cfg.tree_near_slack,
-                flat_cap=flat_cap, row_offset=me * k_t_l,
-                mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
-                compensate=cfg.compensate, **sel)
+            if use_hier:
+                aux = build_hier_local(
+                    x, y, z, xg, yg, zg, mg, slack=cfg.tree_near_slack,
+                    flat_cap=flat_cap, far_max=cfg.tree_far_max,
+                    far_cap=cfg.tree_far_cap, row_offset=me * k_t_l,
+                    mac_tau=cfg.tree_hier_tau, eps2=cfg.eps2,
+                    compensate=cfg.compensate, **sel)
+            else:
+                aux = build_flat_local(
+                    x, y, z, xg, yg, zg, mg, slack=cfg.tree_near_slack,
+                    flat_cap=flat_cap, row_offset=me * k_t_l,
+                    mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
+                    compensate=cfg.compensate, **sel)
 
             def force(px, py, pz):
                 pxg, pyg, pzg = gather(px), gather(py), gather(pz)
-                axl, ayl, azl, react, vip_idx = flat_local_acc(
-                    px, py, pz, m, pxg, pyg, pzg, mg, aux, **akw)
+                if use_hier:
+                    axl, ayl, azl, react, vip_idx = hier_local_acc(
+                        px, py, pz, m, pxg, pyg, pzg, mg, aux,
+                        far_max=cfg.tree_far_max, **akw)
+                else:
+                    axl, ayl, azl, react, vip_idx = flat_local_acc(
+                        px, py, pz, m, pxg, pyg, pzg, mg, aux, **akw)
                 if react is not None:
                     react = lax.psum(react, axis_name)   # (8, W) complete
                     rel = vip_idx - me * n_l

@@ -314,3 +314,39 @@ def test_sharded_flat_treecode_65k_multi_step():
         capture_output=True, text=True, timeout=5400,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_sharded_hier_treecode_matches_single_chip(mesh):
+    """The sharded HIERARCHICAL treecode (round 3): per-chip compacted
+    near AND multi-level far lists from globally-redundant level
+    summaries, global a_med, psum'd VIP reactions — must reproduce the
+    single-chip hierarchical run. Positions agree to force-error
+    tolerance after 8 steps (2 rebuild cadences: the global resort fires
+    mid-run)."""
+    from n_body_problem_tpu.ops import treecode as tc
+    from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+
+    n = 8192
+    cfg = SimConfig(solver="treecode", tree_vip_tiles=8,
+                    tree_rebuild_every=4, tree_src_tile=64,
+                    tree_max_near=64, tree_flat_cap=(n // 128) * 64 * 8,
+                    tree_far_cap=(n // 128) * tc.FAR_ENTRIES * 8,
+                    tree_tile=128)
+    ssim = ShardedSimulation(cfg, models.plummer(n, seed=61), mesh,
+                             strategy="treecode")
+    assert ssim.cfg.tree_far_max > 0  # hier path engaged
+    ssim.run(8)
+    ref = __import__("n_body_problem_tpu").Simulation(
+        cfg, models.plummer(n, seed=61))
+    ref.run(8)
+    a = np.asarray(ssim.state.pos[:n])
+    b = np.asarray(ref.state.pos[:n])
+    inv_a = np.empty(n, int); inv_a[ssim.sort_perm] = np.arange(n)
+    inv_b = np.empty(n, int); inv_b[ref.sort_perm] = np.arange(n)
+    np.testing.assert_allclose(a[inv_a], b[inv_b], rtol=5e-4, atol=5e-5)
+    d = ssim.diagnostics()
+    # seed 61 has one physical close encounter (|v| ~ 40 on the
+    # single-chip run too) — assert agreement, not absence.
+    vref = np.linalg.norm(np.asarray(ref.state.vel[:n]), axis=1)
+    assert d["overspeed"] == int((vref > 10.0).sum())
+    assert np.isfinite(d["energy"])
