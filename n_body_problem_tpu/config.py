@@ -14,6 +14,16 @@ import json
 import pathlib
 from typing import Any
 
+def resolve_vip_tiles(vip_tiles: int, n: int) -> int:
+    """-1 (auto) -> clamp(n // 2048, 16, 128) 32-body VIP units: ~n/64
+    exact-evaluated halo bodies, the measured cost/error optimum from
+    32,768 to 524,288 (a fixed 4,096-body budget was 10% of the step at
+    N=65,536 for no error gain)."""
+    if vip_tiles != -1:
+        return vip_tiles
+    return max(16, min(128, n // 2048))
+
+
 SOLVERS = (
     "auto",        # pallas on TPU, mxu elsewhere
     "direct",      # one-shot jnp O(N^2); the serial ground truth (kernel.cu:891-923 role)
@@ -81,10 +91,13 @@ class SimConfig:
                                # 0 falls back to the geometric criterion.
     tree_max_near: int = 0     # near-list capacity; 0 = auto-tune at init
                                # (in source tiles on the flat path)
-    tree_vip_tiles: int = 128  # largest-radius tiles evaluated exactly
-                               # (counted in fixed 32-body units — a
-                               # 4,096-body exact budget independent of
-                               # tree_tile; see ops.treecode._vip_src_tiles)
+    tree_vip_tiles: int = -1   # largest-radius tiles evaluated exactly,
+                               # counted in 32-body units (see
+                               # ops.treecode._vip_src_tiles). -1 = auto:
+                               # clamp(N // 2048, 16, 128) — the measured
+                               # optimum ~N/64 exact bodies (65k sweep:
+                               # 1,024 bodies beat 4,096 by 1.3 ms/step at
+                               # equal p99). 0 disables the VIP split.
     tree_rebuild_every: int = 8   # device re-sort + acceptance rebuild
                                   # cadence inside Simulation.run (near
                                   # counts grow ~12% over 8 steps; the
@@ -97,7 +110,7 @@ class SimConfig:
                                # binary merge hierarchy + compacted far
                                # lists + octupole-bound MAC (round 3); off
                                # falls back to the single-level masked far
-    tree_hier_tau: float = 0.03  # hierarchical MAC tolerance: open a node
+    tree_hier_tau: float = 0.01  # hierarchical MAC tolerance: open a node
                                # iff m rms^2 r_max / (d - r_max)^5 exceeds
                                # tau x the median body acceleration. Own
                                # scale (the convergence-aware distance
@@ -137,8 +150,10 @@ class SimConfig:
             )
         if not (0.0 < self.tree_theta <= 1.0):
             raise ValueError(f"tree_theta must be in (0, 1], got {self.tree_theta}")
-        if self.tree_max_near < 0 or self.tree_vip_tiles < 0:
-            raise ValueError("tree_max_near / tree_vip_tiles must be >= 0")
+        if self.tree_max_near < 0 or self.tree_vip_tiles < -1:
+            raise ValueError(
+                "tree_max_near must be >= 0 and tree_vip_tiles >= -1 "
+                "(-1 = auto)")
         if self.tree_mac_tau < 0:
             raise ValueError(f"tree_mac_tau must be >= 0, got {self.tree_mac_tau}")
         if self.tree_hier_tau < 0:

@@ -80,8 +80,15 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
             precision=cfg.pallas_sym_precision, **kw
         )
     if solver == "treecode":
+        from n_body_problem_tpu.config import resolve_vip_tiles
         from n_body_problem_tpu.ops import treecode
 
+        if cfg.tree_vip_tiles == -1:
+            # Simulation resolves the auto sentinel at init; resolve here
+            # too for direct make_force_fn callers (n=None falls back to
+            # the flagship budget).
+            cfg = cfg.replace(tree_vip_tiles=resolve_vip_tiles(
+                -1, n if n else 262144))
         max_near = cfg.tree_max_near or treecode.DEFAULT_MAX_NEAR
         tile = cfg.tree_tile or 32
         if cfg.tree_hier and cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0:

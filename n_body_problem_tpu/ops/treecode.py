@@ -1770,7 +1770,7 @@ def treecode_acc(
 # The reference has no tree at all; `kernel.cu:73` is cited as the perf
 # target only.
 HIER_BRANCH = 2
-DEFAULT_HIER_TAU = 0.03   # hier MAC tolerance (own scale: the (d-r)^5
+DEFAULT_HIER_TAU = 0.01   # hier MAC tolerance (own scale: the (d-r)^5
                           # convergence-aware denominator shifts the
                           # score magnitudes; calibrated frontier in
                           # docs/acceptance.md)
@@ -1922,9 +1922,33 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
             _TINY)
     opens, minds = [], []
     k_t = xc.shape[0] // tile
+    # Per-body union distances only at LEVEL 0 (where near/far is
+    # decided); coarser levels use the conservative tile bound
+    # d(com_t, com_s) - r_t, which can only under-estimate the distance
+    # (over-open -> evals pushed to finer levels, error only improves).
+    # Measured at N=32,768/tau=0.03: far-only p99 1.92e-3 -> 1.83e-3,
+    # +~20% far evals, -50% build distance work -- the build is the
+    # O(N*K_s) scaling wall toward N=1M (docs/acceptance.md).
+    tx = xc.reshape(k_t, tile)
+    ty = yc.reshape(k_t, tile)
+    tz = zc.reshape(k_t, tile)
+    tcx = jnp.mean(tx, axis=1)
+    tcy = jnp.mean(ty, axis=1)
+    tcz = jnp.mean(tz, axis=1)
+    trad = jnp.sqrt(jnp.max(
+        (tx - tcx[:, None]) ** 2 + (ty - tcy[:, None]) ** 2
+        + (tz - tcz[:, None]) ** 2, axis=1))
     for lvl, (cx, cy, cz, m, radius, rms2, _) in enumerate(levels):
         com = com0 if lvl == 0 else jnp.stack([cx, cy, cz], axis=1)
-        min_d = jnp.maximum(_min_tile_dist(xc, yc, zc, com, tile), _TINY)
+        if lvl == 0:
+            min_d = jnp.maximum(_min_tile_dist(xc, yc, zc, com, tile),
+                                _TINY)
+        else:
+            dcx = cx[None, :] - tcx[:, None]
+            dcy = cy[None, :] - tcy[:, None]
+            dcz = cz[None, :] - tcz[:, None]
+            dcom = jnp.sqrt(dcx * dcx + dcy * dcy + dcz * dcz)
+            min_d = jnp.maximum(dcom - trad[:, None], _TINY)
         if mac_tau > 0:
             amp = m * rms2 * radius
             delta = jnp.maximum(min_d - radius[None, :], _TINY)
@@ -2442,7 +2466,7 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                  eps2: float = 1e-6,
                  compensate: float = 0.1,
                  margin: float = 1.3,
-                 far_margin: float = 1.5) -> dict:
+                 far_margin: float = 1.25) -> dict:
     """Host-side capacity planner for the hierarchical path.
 
     Returns ``{"max_near", "flat_cap", "far_max", "far_cap"}``.

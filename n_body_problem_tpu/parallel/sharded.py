@@ -148,6 +148,11 @@ class ShardedSimulation:
         state = apply_permutation(real, init_perm)
         state = pad_state(state, multiple=_math.lcm(
             n_dev * cfg.tree_tile, cfg.tree_src_tile, 256))
+        if cfg.tree_vip_tiles == -1:
+            from n_body_problem_tpu.config import resolve_vip_tiles
+
+            cfg = cfg.replace(
+                tree_vip_tiles=resolve_vip_tiles(-1, state.n))
         # Flat (mean-bound columnar) path: the TPU production
         # configuration, mirroring Simulation.__init__'s auto-enable.
         use_flat = (

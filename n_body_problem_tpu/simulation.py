@@ -371,6 +371,11 @@ class Simulation:
         )
         if state.n < need:
             state = pad_state_to(state, need)
+        if solver == "treecode" and cfg.tree_vip_tiles == -1:
+            from n_body_problem_tpu.config import resolve_vip_tiles
+
+            cfg = cfg.replace(
+                tree_vip_tiles=resolve_vip_tiles(-1, state.n))
         if solver == "treecode":
             # Auto-tune the static capacities on the (sorted, padded)
             # initial distribution; margins absorb drift between re-sorts.
