@@ -97,12 +97,14 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         force_fn = make_force_fn(sim.cfg, n=state.n)
         approx = np.asarray(force_fn(state.pos, state.mass))[sub]
         # Chunk the oracle rows: pair_accel_tile materializes (I, N, 3),
-        # which OOMs past N ~ 300k at I = 2048.
+        # which OOMs past N ~ 300k at I = 2048. Budget ~1.5 GB of
+        # transient per chunk (I*N*12 bytes) so the probe survives N=1M.
+        rows = min(512, max(64, int(1.5e9 // (12 * state.n))))
         exact = np.concatenate([
             np.asarray(pair_accel_tile(
-                state.pos[sub[a:a + 512]], state.pos, state.mass,
+                state.pos[sub[a:a + rows]], state.pos, state.mass,
                 eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
-            )) for a in range(0, len(sub), 512)
+            )) for a in range(0, len(sub), rows)
         ])
         err = (np.linalg.norm(approx - exact, axis=1)
                / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))

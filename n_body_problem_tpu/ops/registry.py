@@ -105,6 +105,7 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
                     x, y, z, mass, slack=cfg.tree_near_slack,
                     flat_cap=cfg.tree_flat_cap, far_max=cfg.tree_far_max,
                     far_cap=cfg.tree_far_cap, mac_tau=cfg.tree_hier_tau,
+                    mac_tau0=cfg.tree_mac_tau,
                     eps2=cfg.eps2, compensate=cfg.compensate, **hsel)
                 ax, ay, az = treecode.treecode_acc_hier_cols(
                     x, y, z, mass, aux, far_max=cfg.tree_far_max,

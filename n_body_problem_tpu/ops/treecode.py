@@ -1870,7 +1870,8 @@ def _level_summaries(xc, yc, zc, mass, src_tile: int, plan, branch: int):
 
 def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
                      mac_tau: float, theta: float, eps2: float, c2: float,
-                     row_offset=0, a_med=None):
+                     row_offset=0, a_med=None,
+                     mac_tau0: float | None = None):
     """Per-level (opens, min_d) + the level-0 score matrix for near
     ranking (self rows forced +inf).
 
@@ -1899,6 +1900,18 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
         score).
 
     ``mac_tau == 0``: geometric bounding-radius/theta test per level.
+
+    ``mac_tau0 > 0`` (hybrid, the production default): LEVEL 0 instead
+    uses the single-level flat path's calibrated criterion —
+    ``m r^3 / d^5 > mac_tau0 * sqrt(MAC_REF_KSRC / K_s) * a_med`` —
+    so the near/far boundary matches the flat path's measured
+    cost/error optimum (the octupole-bound (d-r)^5 guard is ~35%
+    stricter there at 65k: 237 vs 175 near tiles/row at matched p99 —
+    it was calibrated against COARSE-node blowups, but level-0 Morton
+    tiles are small enough that the flat criterion's loose tail is
+    already in the 6e-4 class). Coarser levels keep the guarded
+    octupole score: that is where barely-convergent acceptance
+    actually blows up.
 
     At EVERY level, a node whose body range overlaps the target row is
     forced open (score +inf) by the static index test — containment is
@@ -1949,7 +1962,11 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
             dcz = cz[None, :] - tcz[:, None]
             dcom = jnp.sqrt(dcx * dcx + dcy * dcy + dcz * dcz)
             min_d = jnp.maximum(dcom - trad[:, None], _TINY)
-        if mac_tau > 0:
+        if mac_tau > 0 and lvl == 0 and mac_tau0:
+            d5 = jnp.square(jnp.square(min_d)) * min_d
+            score = (m * radius * radius * radius)[None, :] / d5 / a_med
+            thresh = mac_tau0 * math.sqrt(MAC_REF_KSRC / m.shape[0])
+        elif mac_tau > 0:
             amp = m * rms2 * radius
             delta = jnp.maximum(min_d - radius[None, :], _TINY)
             d5 = jnp.square(jnp.square(delta)) * delta
@@ -2018,6 +2035,7 @@ def build_tree_hier_cols(
     far_cap: int,
     branch: int = HIER_BRANCH,
     mac_tau: float = DEFAULT_HIER_TAU,
+    mac_tau0: float | None = None,
     eps2: float = 1e-6,
     compensate: float = 0.1,
 ):
@@ -2050,7 +2068,7 @@ def build_tree_hier_cols(
     levels = _level_summaries(xc, yc, zc, mass_tree, src_tile, plan, branch)
     opens, minds, score0, thresh0 = _hier_open_masks(
         xc, yc, zc, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
-        eps2=eps2, c2=c2)
+        eps2=eps2, c2=c2, mac_tau0=mac_tau0)
     evals, reach0 = _chain_evals(opens, branch)
 
     # Near: only leaves the chain actually reaches may be computed
@@ -2303,6 +2321,7 @@ def build_hier_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
                      far_max: int, far_cap: int, row_offset,
                      branch: int = HIER_BRANCH,
                      mac_tau: float = DEFAULT_HIER_TAU,
+                     mac_tau0: float | None = None,
                      eps2: float = 1e-6, compensate: float = 0.1):
     """Hierarchical acceptance for LOCAL target rows against GLOBAL
     sources (inside shard_map — the multi-level analogue of
@@ -2342,7 +2361,8 @@ def build_hier_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
             _TINY)
     opens, minds, score0, thresh0 = _hier_open_masks(
         xl, yl, zl, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
-        eps2=eps2, c2=c2, row_offset=row_offset, a_med=a_med)
+        eps2=eps2, c2=c2, row_offset=row_offset, a_med=a_med,
+        mac_tau0=mac_tau0)
     evals, reach0 = _chain_evals(opens, branch)
     score0 = jnp.where(reach0, score0, -1.0)
     flat_src, chunk_tgt, near_mask = _compact_open_lists(
@@ -2421,7 +2441,7 @@ def hier_local_acc(xl, yl, zl, ml, xg, yg, zg, mass_g, aux, *, eps2: float,
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "src_tile", "theta", "vip_tiles", "branch",
-                     "mac_tau", "eps2", "compensate"),
+                     "mac_tau", "mac_tau0", "eps2", "compensate"),
 )
 def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                 src_tile: int = DEFAULT_SRC_TILE,
@@ -2429,6 +2449,7 @@ def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                 vip_tiles: int = DEFAULT_VIP_TILES,
                 branch: int = HIER_BRANCH,
                 mac_tau: float = DEFAULT_HIER_TAU,
+                mac_tau0: float | None = None,
                 eps2: float = 1e-6,
                 compensate: float = 0.1):
     """(near_count (K_t,), far_count (K_t,)) of the hierarchical chain on
@@ -2449,7 +2470,7 @@ def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                               branch)
     opens, _, _, _ = _hier_open_masks(
         xc, yc, zc, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
-        eps2=eps2, c2=c2)
+        eps2=eps2, c2=c2, mac_tau0=mac_tau0)
     evals, reach0 = _chain_evals(opens, branch)
     near = jnp.sum(jnp.logical_and(reach0, opens[0]), axis=1)
     far = sum(jnp.sum(ev, axis=1) for ev in evals)
@@ -2463,6 +2484,7 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                  slack: int = DEFAULT_NEAR_SLACK,
                  branch: int = HIER_BRANCH,
                  mac_tau: float = DEFAULT_HIER_TAU,
+                 mac_tau0: float | None = None,
                  eps2: float = 1e-6,
                  compensate: float = 0.1,
                  margin: float = 1.3,
@@ -2477,7 +2499,7 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
     near, far = hier_counts(
         jnp.asarray(pos), jnp.asarray(mass), tile=tile, src_tile=src_tile,
         theta=theta, vip_tiles=vip_tiles, branch=branch, mac_tau=mac_tau,
-        eps2=eps2, compensate=compensate)
+        mac_tau0=mac_tau0, eps2=eps2, compensate=compensate)
     near = np.asarray(near)
     far = np.asarray(far)
     entries = CHUNK_LANES // src_tile
@@ -2503,6 +2525,7 @@ def suggest_hier_sharded(pos, mass, n_dev: int, *,
                          slack: int = DEFAULT_NEAR_SLACK,
                          branch: int = HIER_BRANCH,
                          mac_tau: float = DEFAULT_HIER_TAU,
+                         mac_tau0: float | None = None,
                          eps2: float = 1e-6,
                          compensate: float = 0.1,
                          margin: float = 1.4,
@@ -2517,7 +2540,7 @@ def suggest_hier_sharded(pos, mass, n_dev: int, *,
     near, far = hier_counts(
         jnp.asarray(pos), jnp.asarray(mass), tile=tile, src_tile=src_tile,
         theta=theta, vip_tiles=vip_tiles, branch=branch, mac_tau=mac_tau,
-        eps2=eps2, compensate=compensate)
+        mac_tau0=mac_tau0, eps2=eps2, compensate=compensate)
     near = np.asarray(near)
     far = np.asarray(far)
     entries = CHUNK_LANES // src_tile

@@ -180,7 +180,8 @@ class ShardedSimulation:
                 state.pos, state.mass, n_dev, tile=cfg.tree_tile,
                 src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
                 vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
-                **dict(mac, mac_tau=cfg.tree_hier_tau),
+                **dict(mac, mac_tau=cfg.tree_hier_tau,
+                       mac_tau0=cfg.tree_mac_tau),
             )
             for field, key in (("tree_max_near", "max_near"),
                                ("tree_flat_cap", "flat_cap"),

@@ -178,7 +178,8 @@ def _make_sharded_flat_run(cfg: SimConfig, mesh: Mesh,
                     x, y, z, xg, yg, zg, mg, slack=cfg.tree_near_slack,
                     flat_cap=flat_cap, far_max=cfg.tree_far_max,
                     far_cap=cfg.tree_far_cap, row_offset=me * k_t_l,
-                    mac_tau=cfg.tree_hier_tau, eps2=cfg.eps2,
+                    mac_tau=cfg.tree_hier_tau, mac_tau0=cfg.tree_mac_tau,
+                    eps2=cfg.eps2,
                     compensate=cfg.compensate, **sel)
             else:
                 aux = build_flat_local(

@@ -93,7 +93,8 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                     x, y, z, m, src_tile=src, slack=cfg.tree_near_slack,
                     flat_cap=flat_cap, far_max=cfg.tree_far_max,
                     far_cap=cfg.tree_far_cap,
-                    **dict(bsel, mac_tau=cfg.tree_hier_tau))
+                    **dict(bsel, mac_tau=cfg.tree_hier_tau,
+                           mac_tau0=cfg.tree_mac_tau))
 
                 def force(px, py, pz):
                     return treecode_acc_hier_cols(
@@ -404,7 +405,8 @@ class Simulation:
             mac = dict(mac_tau=cfg.tree_mac_tau, eps2=cfg.eps2,
                        compensate=cfg.compensate)
             if use_hier:
-                mac = dict(mac, mac_tau=cfg.tree_hier_tau)
+                mac = dict(mac, mac_tau=cfg.tree_hier_tau,
+                           mac_tau0=cfg.tree_mac_tau)
                 # The hierarchical planner sizes all four capacities
                 # consistently (its RMS-amplitude MAC and absolute-tau
                 # threshold give different counts than the single-level

@@ -245,3 +245,52 @@ def test_hier_simulation_end_to_end():
     delta = np.abs(np.asarray(sim.state.pos[:n])[inv]
                    - np.asarray(ref.state.pos[:n])).max()
     assert delta < 1e-3, delta
+
+
+def test_hier_work_beats_flat_at_matched_error():
+    """VERDICT r2 #1 'done' criterion, CI-checkable half: the structural
+    properties behind the measured TPU speedups (docs/acceptance.md).
+
+    With the hybrid acceptance (flat criterion at level 0, guarded
+    octupole MAC above), at each path's calibrated default tolerance:
+
+    * FAR COMPRESSION: hierarchical far evals per body stay well below
+      the flat path's structural K_s-per-body sweep — this is the term
+      that made the flat path O(N^2/64) and is the entire point of the
+      hierarchy. (Compression deepens with N: 0.62x K_s at 65k, 0.38x
+      at 262k measured on this distribution.)
+    * BOUNDED NEAR INFLATION: the hierarchical near boundary at
+      128-body target rows uses the SAME level-0 criterion as the flat
+      path, so its near count may exceed the flat path's 32-row count
+      only by the row-union conservatism (wider rows take a min over
+      4x more bodies), measured ~1.3x — not by criterion drift.
+
+    Total-step wins are measured on the chip (the far kernel is ~4.3x
+    the per-unit cost of a near unit and kernel efficiencies differ by
+    tile width); CI guards the structure that produces them.
+    """
+    n, src = 65536, 64
+    pos, mass = _sorted_plummer(n, seed=8)
+    k_s = n // src
+    vip = max(16, min(128, n // 2048))
+
+    near_h, far_h = tc.hier_counts(
+        pos, mass, tile=128, src_tile=src, vip_tiles=vip,
+        mac_tau=tc.DEFAULT_HIER_TAU, mac_tau0=tc.DEFAULT_MAC_TAU,
+        eps2=EPS2, compensate=COMP)
+    near_f = tc.open_counts(
+        pos, mass, tile=32, src_tile=src, vip_tiles=vip,
+        mac_tau=tc.DEFAULT_MAC_TAU, eps2=EPS2, compensate=COMP)
+
+    far_per_body = float(jnp.mean(far_h))
+    assert far_per_body < 0.7 * k_s, (far_per_body, k_s)
+    ratio = float(jnp.mean(near_h)) / float(jnp.mean(near_f))
+    assert ratio < 1.4, ratio
+    # and at 32-body rows the level-0 criterion must MATCH the flat
+    # path's near boundary exactly (same score, same threshold).
+    near_h32, _ = tc.hier_counts(
+        pos, mass, tile=32, src_tile=src, vip_tiles=vip,
+        mac_tau=tc.DEFAULT_HIER_TAU, mac_tau0=tc.DEFAULT_MAC_TAU,
+        eps2=EPS2, compensate=COMP)
+    match = float(jnp.mean(near_h32)) / float(jnp.mean(near_f))
+    assert 0.98 < match < 1.02, match
