@@ -184,6 +184,7 @@ def main() -> None:
             print(f"bench: leg failed: {e!r}", file=sys.stderr)
             return None
 
+    tree1m = safe(bench_config, 1048576, "treecode", steps=args.steps or 16)
     tree524 = safe(bench_config, 524288, "treecode", steps=args.steps or 32)
     tree = safe(bench_config, 262144, "treecode", steps=args.steps or 32)
     tree65 = safe(bench_config, 65536, "treecode", steps=args.steps or 128)
@@ -193,6 +194,8 @@ def main() -> None:
     # window self-averages the relay's ~20-90 ms dispatch jitter to
     # <0.2 ms/step, so one timed window suffices. The headline quotes
     # the SUSTAINED rate of the largest completed leg.
+    sus1m = (safe(bench_config, 1048576, "treecode", steps=256, windows=1)
+             if tree1m is not None else None)
     sus524 = safe(bench_config, 524288, "treecode", steps=512, windows=1)
     sus262 = safe(bench_config, 262144, "treecode", steps=512, windows=1)
     sus65 = safe(bench_config, 65536, "treecode", steps=1024, windows=1)
@@ -209,7 +212,8 @@ def main() -> None:
     # Headline = the SUSTAINED rate of the largest completed leg
     # (windowed numbers ride alongside; a multiplier that only holds for
     # 32-step windows is soft — VERDICT r2).
-    head = next((t for t in (sus524, sus262, sus65, tree524, tree, tree65)
+    head = next((t for t in (sus1m, sus524, sus262, sus65,
+                             tree1m, tree524, tree, tree65)
                  if t is not None), None)
     if head is None:
         print("bench: every treecode leg failed; no headline to report",
@@ -228,8 +232,9 @@ def main() -> None:
         "solver": "treecode",
         "backend": backend,
     }
-    for tag, leg in (("524k", tree524), ("262k", tree), ("65k", tree65),
-                     ("20k", tree20),
+    for tag, leg in (("1m", tree1m), ("524k", tree524), ("262k", tree),
+                     ("65k", tree65), ("20k", tree20),
+                     ("sustained_1m", sus1m),
                      ("sustained_524k", sus524), ("sustained_262k", sus262),
                      ("sustained_65k", sus65)):
         if leg is not None:
