@@ -184,7 +184,9 @@ def main() -> None:
             print(f"bench: leg failed: {e!r}", file=sys.stderr)
             return None
 
-    tree1m = safe(bench_config, 1048576, "treecode", steps=args.steps or 16)
+    # Proven scales run FIRST: a wedged relay at the frontier N=1M leg
+    # (round 1 saw the relay's TPU worker die on a 1M job) must not
+    # take the whole suite down with it, so 1M goes last in each group.
     tree524 = safe(bench_config, 524288, "treecode", steps=args.steps or 32)
     tree = safe(bench_config, 262144, "treecode", steps=args.steps or 32)
     tree65 = safe(bench_config, 65536, "treecode", steps=args.steps or 128)
@@ -194,8 +196,6 @@ def main() -> None:
     # window self-averages the relay's ~20-90 ms dispatch jitter to
     # <0.2 ms/step, so one timed window suffices. The headline quotes
     # the SUSTAINED rate of the largest completed leg.
-    sus1m = (safe(bench_config, 1048576, "treecode", steps=256, windows=1)
-             if tree1m is not None else None)
     sus524 = safe(bench_config, 524288, "treecode", steps=512, windows=1)
     sus262 = safe(bench_config, 262144, "treecode", steps=512, windows=1)
     sus65 = safe(bench_config, 65536, "treecode", steps=1024, windows=1)
@@ -208,6 +208,10 @@ def main() -> None:
     exact = safe(bench_config, 65536, "pallas_symmetric",
                  steps=args.steps or 16)
     ms_render = safe(bench_render, 65536, "pallas_symmetric")
+    # Frontier N=1M legs LAST (see ordering note above).
+    tree1m = safe(bench_config, 1048576, "treecode", steps=args.steps or 16)
+    sus1m = (safe(bench_config, 1048576, "treecode", steps=256, windows=1)
+             if tree1m is not None else None)
 
     # Headline = the SUSTAINED rate of the largest completed leg
     # (windowed numbers ride alongside; a multiplier that only holds for
