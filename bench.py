@@ -41,12 +41,15 @@ def _sync(x) -> float:
 
 
 def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
-                 probe_error: bool | None = None, windows: int = 3) -> dict:
+                 probe_error: bool | None = None, windows: int = 3,
+                 **cfg_kw) -> dict:
+    """Time one configuration; extra kwargs are SimConfig overrides
+    (used by tools/tune_small_n.py for the small-N sweep)."""
     import numpy as np
 
     from n_body_problem_tpu import SimConfig, Simulation, models
 
-    cfg = SimConfig(solver=solver)
+    cfg = SimConfig(solver=solver, **cfg_kw)
     sim = Simulation(cfg, models.plummer(n, seed=0))
     print(f"bench: n={n} padded={sim.state.n} solver={solver} "
           f"steps={steps}", file=sys.stderr)
