@@ -53,6 +53,133 @@ def timed(fn, steps, *args, warmups=2, reps=3):
     return best / steps
 
 
+def profile_hier(args, cfg, state, tc):
+    """Per-stage timing of the hierarchical (round-3) columnar path:
+    build (acceptance lists), level summaries, near kernel, multi-level
+    far kernel, VIP sweep — same scanned-window methodology as the flat
+    profiler. All large arrays are passed as jit ARGUMENTS (closures
+    over big device constants blow up the relay's remote compile)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    n = state.n
+    tile, src = cfg.tree_tile, cfg.tree_src_tile
+    c2 = cfg.compensate * cfg.compensate
+    gc3 = cfg.G * c2 * cfg.compensate
+    pos, mass = state.pos, state.mass
+    xc, yc, zc = pos[:, 0], pos[:, 1], pos[:, 2]
+
+    if not (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0):
+        # Off-TPU, Simulation's auto-capacity path doesn't engage (the
+        # flat/hier work lists are a TPU production path); size them
+        # here so the profiler runs anywhere.
+        caps = tc.suggest_hier(
+            pos, mass, tile=tile, src_tile=src, theta=cfg.tree_theta,
+            vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
+            mac_tau=cfg.tree_hier_tau, mac_tau0=cfg.tree_mac_tau,
+            eps2=cfg.eps2, compensate=cfg.compensate)
+        cfg = cfg.replace(
+            **{f: caps[k] for f, k in (("tree_max_near", "max_near"),
+                                       ("tree_flat_cap", "flat_cap"),
+                                       ("tree_far_max", "far_max"),
+                                       ("tree_far_cap", "far_cap"))
+               if getattr(cfg, f) == 0})
+
+    hsel = dict(tile=tile, src_tile=src, theta=cfg.tree_theta,
+                max_near=cfg.tree_max_near, vip_tiles=cfg.tree_vip_tiles)
+    build_kw = dict(slack=cfg.tree_near_slack, flat_cap=cfg.tree_flat_cap,
+                    far_max=cfg.tree_far_max, far_cap=cfg.tree_far_cap,
+                    mac_tau=cfg.tree_hier_tau, mac_tau0=cfg.tree_mac_tau,
+                    eps2=cfg.eps2, compensate=cfg.compensate, **hsel)
+    acc_kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
+                  far_max=cfg.tree_far_max, **hsel)
+
+    (k_t, k_s, _, _, vip_src, plan, k_total, far_max) = tc._hier_static(
+        n, tile, src, cfg.tree_theta, cfg.tree_max_near,
+        cfg.tree_vip_tiles, cfg.tree_far_max, tc.HIER_BRANCH)
+    print(f"hier: k_t={k_t} k_s={k_s} k_total={k_total} levels={len(plan)} "
+          f"far_max={far_max} far_cap={cfg.tree_far_cap} "
+          f"flat_cap={cfg.tree_flat_cap}")
+
+    aux = jax.jit(functools.partial(tc.build_tree_hier_cols, **build_kw))(
+        xc, yc, zc, mass)
+    flat_src, chunk_tgt, far_src, far_tgt, is_vip_body = (
+        jax.block_until_ready(aux))
+    used = int(np.asarray((far_tgt != k_t).sum())) * tc.FAR_ENTRIES
+    print(f"hier: far chunks used {int(np.asarray((far_tgt != k_t).sum()))}"
+          f"/{far_tgt.shape[0]} (~{used / max(k_t, 1):.0f} node-entries/row)")
+
+    if vip_src:
+        mass_tree = jnp.where(is_vip_body, 0.0, mass)
+        vip_tile_idx = np.nonzero(
+            np.asarray(is_vip_body).reshape(k_s, src)[:, 0])[0]
+        vip_body_idx = (vip_tile_idx[:, None] * src
+                        + np.arange(src)[None, :]).reshape(-1)
+    else:
+        mass_tree = mass
+        vip_body_idx = np.arange(0)
+    scaled_tree = mass_tree * np.float32(gc3)
+    scaled_all = mass * np.float32(gc3)
+    tiles = jnp.stack(
+        [xc.reshape(k_s, src), yc.reshape(k_s, src),
+         zc.reshape(k_s, src), scaled_tree.reshape(k_s, src)], axis=1)
+    tiles = jnp.concatenate([tiles, jnp.zeros((1, 4, src), jnp.float32)], 0)
+    levels = jax.jit(functools.partial(
+        tc._level_summaries, src_tile=src, plan=plan,
+        branch=tc.HIER_BRANCH))(xc, yc, zc, mass_tree)
+    summ = jax.block_until_ready(tc._summary_panel(levels))
+
+    interp = jax.default_backend() != "tpu"
+    r = {}
+    r["floor"] = timed(lambda p: p * 1.0000001, args.steps, pos)
+    r["total_hier"] = timed(
+        lambda p, m, *a: tc.treecode_acc_hier_cols(
+            p[:, 0], p[:, 1], p[:, 2], m, a, **acc_kw),
+        args.steps, pos, mass, *aux)
+    r["build_hier"] = timed(
+        lambda p, m: tc.build_tree_hier_cols(
+            p[:, 0], p[:, 1], p[:, 2], m, **build_kw),
+        args.steps, pos, mass)
+    r["summaries"] = timed(
+        lambda p, m: tc._summary_panel(tc._level_summaries(
+            p[:, 0], p[:, 1], p[:, 2], m, src, plan, tc.HIER_BRANCH)),
+        args.steps, pos, mass_tree)
+    r["near"] = timed(
+        lambda p, t, fs, ct: tc._near_field_flat_cols(
+            p[:, 0], p[:, 1], p[:, 2], t, fs, ct, eps2=cfg.eps2, c2=c2,
+            tile=tile, src_tile=src, interpret=interp),
+        args.steps, pos, tiles, flat_src, chunk_tgt)
+    r["far_hier"] = timed(
+        lambda p, s, fs, ft: tc._far_field_hier_cols(
+            p[:, 0], p[:, 1], p[:, 2], s, fs, ft, eps2=cfg.eps2, c2=c2,
+            G=cfg.G, tile=tile, interpret=interp),
+        args.steps, pos, summ, far_src, far_tgt)
+    if vip_src:
+        r["vip"] = timed(
+            lambda p, sa, px, py, pz, sv: tc._vip_both_pallas_cols(
+                p[:, 0], p[:, 1], p[:, 2], sa, px, py, pz, sv,
+                eps2=cfg.eps2, c2=c2, interpret=interp),
+            args.steps, pos, scaled_all, xc[vip_body_idx],
+            yc[vip_body_idx], zc[vip_body_idx], scaled_all[vip_body_idx])
+
+    rebuild = cfg.tree_rebuild_every
+    floor = r["floor"]
+    print(f"\n--- per call (ms, floor-corrected); build amortizes over "
+          f"{rebuild} steps ---")
+    for name, dt in r.items():
+        print(f"{name:12s} {dt * 1e3:9.2f}   ({(dt - floor) * 1e3:8.2f})")
+    stage_names = [s for s in ("near", "far_hier", "summaries", "vip")
+                   if s in r]
+    stages = sum(r[s] - floor for s in stage_names)
+    print(f"{'sum stages':12s} {stages * 1e3:9.2f}  (+ build/{rebuild} = "
+          f"{(stages + (r['build_hier'] - floor) / rebuild) * 1e3:.2f})")
+    eff = args.n * (args.n - 1)
+    tot = r["total_hier"] - floor
+    print(f"effective pairs/s at total_hier-floor: {eff / tot:.3e} "
+          f"({eff / r['total_hier']:.3e} raw)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=262144)
@@ -65,12 +192,14 @@ def main():
     ap.add_argument("--slack", type=int, default=-1)
     ap.add_argument("--err", action="store_true",
                     help="probe force error vs exact oracle")
+    ap.add_argument("--hier", action="store_true",
+                    help="profile the hierarchical (round-3) path stages")
     args = ap.parse_args()
 
     from n_body_problem_tpu import SimConfig, Simulation, models
     from n_body_problem_tpu.ops import treecode as tc
 
-    over = {}
+    over = {"tree_hier": bool(args.hier)}
     if args.src:
         over["tree_src_tile"] = args.src
     if args.theta:
@@ -100,6 +229,10 @@ def main():
     pos, mass = state.pos, state.mass
     c2 = cfg.compensate * cfg.compensate
     gc3 = cfg.G * c2 * cfg.compensate
+
+    if args.hier:
+        profile_hier(args, cfg, state, tc)
+        return
 
     aux = jax.jit(functools.partial(
         tc.build_tree_flat, slack=cfg.tree_near_slack,
