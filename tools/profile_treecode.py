@@ -179,6 +179,26 @@ def profile_hier(args, cfg, state, tc):
     print(f"effective pairs/s at total_hier-floor: {eff / tot:.3e} "
           f"({eff / r['total_hier']:.3e} raw)")
 
+    if args.err:
+        from n_body_problem_tpu.ops.forces import pair_accel_tile
+
+        sub = np.arange(0, n, max(n // 2048, 1))
+        ax, ay, az = tc.treecode_acc_hier_cols(xc, yc, zc, mass, aux,
+                                               **acc_kw)
+        approx = np.stack([np.asarray(ax)[sub], np.asarray(ay)[sub],
+                           np.asarray(az)[sub]], axis=1)
+        rows = min(512, max(64, int(1.5e9 // (12 * n))))
+        exact = np.concatenate([
+            np.asarray(pair_accel_tile(
+                state.pos[sub[a:a + rows]], state.pos, mass,
+                eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G))
+            for a in range(0, len(sub), rows)
+        ])
+        e = (np.linalg.norm(approx - exact, axis=1)
+             / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))
+        print(f"force err: median {np.median(e):.2e} "
+              f"p99 {np.percentile(e, 99):.2e} max {e.max():.2e}")
+
 
 def main():
     ap = argparse.ArgumentParser()
