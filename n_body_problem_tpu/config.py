@@ -120,6 +120,14 @@ class SimConfig:
                                # back to the geometric theta criterion.
     tree_far_cap: int = 0      # hierarchical far-list capacity; 0 = auto
     tree_far_max: int = 0      # per-target far-list bound; 0 = auto
+    tree_hier_union: bool = True  # per-body union distances at COARSE
+                               # levels too (not just level 0): the cheap
+                               # com-minus-row-radius bound collapses for
+                               # wide halo target rows (everything opens
+                               # to the leaves). Census at N=262k: mean
+                               # far evals -26%, worst row -60%, for ~2x
+                               # the build's (amortized) distance work
+                               # (docs/acceptance.md round-3 union table).
     # (Physics is fp32 throughout — the reference's `real`; no dtype knob.)
     morton_sort: bool = False  # Z-order bodies at init (tile locality)
     resort_every: int = 0      # >0: sort at init AND re-sort every N steps

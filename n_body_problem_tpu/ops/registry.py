@@ -106,6 +106,7 @@ def make_force_fn(cfg: SimConfig, backend: str | None = None,
                     flat_cap=cfg.tree_flat_cap, far_max=cfg.tree_far_max,
                     far_cap=cfg.tree_far_cap, mac_tau=cfg.tree_hier_tau,
                     mac_tau0=cfg.tree_mac_tau,
+                    union_coarse=cfg.tree_hier_union,
                     eps2=cfg.eps2, compensate=cfg.compensate, **hsel)
                 ax, ay, az = treecode.treecode_acc_hier_cols(
                     x, y, z, mass, aux, far_max=cfg.tree_far_max,

@@ -1871,7 +1871,8 @@ def _level_summaries(xc, yc, zc, mass, src_tile: int, plan, branch: int):
 def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
                      mac_tau: float, theta: float, eps2: float, c2: float,
                      row_offset=0, a_med=None,
-                     mac_tau0: float | None = None):
+                     mac_tau0: float | None = None,
+                     union_coarse: bool = True):
     """Per-level (opens, min_d) + the level-0 score matrix for near
     ranking (self rows forced +inf).
 
@@ -1935,13 +1936,19 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
             _TINY)
     opens, minds = [], []
     k_t = xc.shape[0] // tile
-    # Per-body union distances only at LEVEL 0 (where near/far is
-    # decided); coarser levels use the conservative tile bound
-    # d(com_t, com_s) - r_t, which can only under-estimate the distance
-    # (over-open -> evals pushed to finer levels, error only improves).
-    # Measured at N=32,768/tau=0.03: far-only p99 1.92e-3 -> 1.83e-3,
-    # +~20% far evals, -50% build distance work -- the build is the
-    # O(N*K_s) scaling wall toward N=1M (docs/acceptance.md).
+    # ``union_coarse`` (default): per-body union distances at EVERY
+    # level. The alternative conservative tile bound d(com_t, com_s) -
+    # r_t collapses for wide halo target rows (r_t up to ~60x the
+    # median at N=262k): min_d <= 0 against every node, the whole tree
+    # opens to the leaves, and those rows evaluate ~K_src leaves
+    # individually. Measured census at N=262k (docs/acceptance.md,
+    # round-3 union table): union everywhere cuts mean far evals
+    # 1546 -> 1145/row (-26%) and the worst row 4062 -> 1644 (-60%),
+    # at ~2x the build's distance work (the coarse levels sum to
+    # ~K_src nodes) -- a net win because the far kernel is the
+    # per-step cost while the build amortizes over
+    # tree_rebuild_every. Distances can only get MORE accurate
+    # (the bound under-estimates), so acceptance stays sound.
     tx = xc.reshape(k_t, tile)
     ty = yc.reshape(k_t, tile)
     tz = zc.reshape(k_t, tile)
@@ -1953,7 +1960,7 @@ def _hier_open_masks(xc, yc, zc, levels, tile: int, src_tile: int, *,
         + (tz - tcz[:, None]) ** 2, axis=1))
     for lvl, (cx, cy, cz, m, radius, rms2, _) in enumerate(levels):
         com = com0 if lvl == 0 else jnp.stack([cx, cy, cz], axis=1)
-        if lvl == 0:
+        if lvl == 0 or union_coarse:
             min_d = jnp.maximum(_min_tile_dist(xc, yc, zc, com, tile),
                                 _TINY)
         else:
@@ -2038,6 +2045,7 @@ def build_tree_hier_cols(
     mac_tau0: float | None = None,
     eps2: float = 1e-6,
     compensate: float = 0.1,
+    union_coarse: bool = True,
 ):
     """Hierarchical acceptance structures (the round-3 production path).
 
@@ -2068,7 +2076,7 @@ def build_tree_hier_cols(
     levels = _level_summaries(xc, yc, zc, mass_tree, src_tile, plan, branch)
     opens, minds, score0, thresh0 = _hier_open_masks(
         xc, yc, zc, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
-        eps2=eps2, c2=c2, mac_tau0=mac_tau0)
+        eps2=eps2, c2=c2, mac_tau0=mac_tau0, union_coarse=union_coarse)
     evals, reach0 = _chain_evals(opens, branch)
 
     # Near: only leaves the chain actually reaches may be computed
@@ -2322,7 +2330,8 @@ def build_hier_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
                      branch: int = HIER_BRANCH,
                      mac_tau: float = DEFAULT_HIER_TAU,
                      mac_tau0: float | None = None,
-                     eps2: float = 1e-6, compensate: float = 0.1):
+                     eps2: float = 1e-6, compensate: float = 0.1,
+                     union_coarse: bool = True):
     """Hierarchical acceptance for LOCAL target rows against GLOBAL
     sources (inside shard_map — the multi-level analogue of
     :func:`build_flat_local`). Every chip computes the identical global
@@ -2362,7 +2371,7 @@ def build_hier_local(xl, yl, zl, xg, yg, zg, mass_g, *, tile: int,
     opens, minds, score0, thresh0 = _hier_open_masks(
         xl, yl, zl, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
         eps2=eps2, c2=c2, row_offset=row_offset, a_med=a_med,
-        mac_tau0=mac_tau0)
+        mac_tau0=mac_tau0, union_coarse=union_coarse)
     evals, reach0 = _chain_evals(opens, branch)
     score0 = jnp.where(reach0, score0, -1.0)
     flat_src, chunk_tgt, near_mask = _compact_open_lists(
@@ -2441,7 +2450,8 @@ def hier_local_acc(xl, yl, zl, ml, xg, yg, zg, mass_g, aux, *, eps2: float,
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "src_tile", "theta", "vip_tiles", "branch",
-                     "mac_tau", "mac_tau0", "eps2", "compensate"),
+                     "mac_tau", "mac_tau0", "eps2", "compensate",
+                     "union_coarse"),
 )
 def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                 src_tile: int = DEFAULT_SRC_TILE,
@@ -2451,7 +2461,8 @@ def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                 mac_tau: float = DEFAULT_HIER_TAU,
                 mac_tau0: float | None = None,
                 eps2: float = 1e-6,
-                compensate: float = 0.1):
+                compensate: float = 0.1,
+                union_coarse: bool = True):
     """(near_count (K_t,), far_count (K_t,)) of the hierarchical chain on
     this distribution (uncapped; the capacity planner for
     :func:`build_tree_hier_cols`)."""
@@ -2470,7 +2481,7 @@ def hier_counts(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                               branch)
     opens, _, _, _ = _hier_open_masks(
         xc, yc, zc, levels, tile, src_tile, mac_tau=mac_tau, theta=theta,
-        eps2=eps2, c2=c2, mac_tau0=mac_tau0)
+        eps2=eps2, c2=c2, mac_tau0=mac_tau0, union_coarse=union_coarse)
     evals, reach0 = _chain_evals(opens, branch)
     near = jnp.sum(jnp.logical_and(reach0, opens[0]), axis=1)
     far = sum(jnp.sum(ev, axis=1) for ev in evals)
@@ -2487,6 +2498,7 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
                  mac_tau0: float | None = None,
                  eps2: float = 1e-6,
                  compensate: float = 0.1,
+                 union_coarse: bool = True,
                  margin: float = 1.3,
                  far_margin: float = 1.25) -> dict:
     """Host-side capacity planner for the hierarchical path.
@@ -2499,7 +2511,8 @@ def suggest_hier(pos, mass, *, tile: int = DEFAULT_HIER_TILE,
     near, far = hier_counts(
         jnp.asarray(pos), jnp.asarray(mass), tile=tile, src_tile=src_tile,
         theta=theta, vip_tiles=vip_tiles, branch=branch, mac_tau=mac_tau,
-        mac_tau0=mac_tau0, eps2=eps2, compensate=compensate)
+        mac_tau0=mac_tau0, eps2=eps2, compensate=compensate,
+        union_coarse=union_coarse)
     near = np.asarray(near)
     far = np.asarray(far)
     entries = CHUNK_LANES // src_tile
@@ -2528,6 +2541,7 @@ def suggest_hier_sharded(pos, mass, n_dev: int, *,
                          mac_tau0: float | None = None,
                          eps2: float = 1e-6,
                          compensate: float = 0.1,
+                         union_coarse: bool = True,
                          margin: float = 1.4,
                          far_margin: float = 1.6) -> dict:
     """PER-CHIP capacity planner for the sharded hierarchical path.
@@ -2540,7 +2554,8 @@ def suggest_hier_sharded(pos, mass, n_dev: int, *,
     near, far = hier_counts(
         jnp.asarray(pos), jnp.asarray(mass), tile=tile, src_tile=src_tile,
         theta=theta, vip_tiles=vip_tiles, branch=branch, mac_tau=mac_tau,
-        mac_tau0=mac_tau0, eps2=eps2, compensate=compensate)
+        mac_tau0=mac_tau0, eps2=eps2, compensate=compensate,
+        union_coarse=union_coarse)
     near = np.asarray(near)
     far = np.asarray(far)
     entries = CHUNK_LANES // src_tile

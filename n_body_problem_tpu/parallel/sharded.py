@@ -181,7 +181,8 @@ class ShardedSimulation:
                 src_tile=cfg.tree_src_tile, theta=cfg.tree_theta,
                 vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
                 **dict(mac, mac_tau=cfg.tree_hier_tau,
-                       mac_tau0=cfg.tree_mac_tau),
+                       mac_tau0=cfg.tree_mac_tau,
+                       union_coarse=cfg.tree_hier_union),
             )
             for field, key in (("tree_max_near", "max_near"),
                                ("tree_flat_cap", "flat_cap"),

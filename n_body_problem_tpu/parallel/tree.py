@@ -179,7 +179,7 @@ def _make_sharded_flat_run(cfg: SimConfig, mesh: Mesh,
                     flat_cap=flat_cap, far_max=cfg.tree_far_max,
                     far_cap=cfg.tree_far_cap, row_offset=me * k_t_l,
                     mac_tau=cfg.tree_hier_tau, mac_tau0=cfg.tree_mac_tau,
-                    eps2=cfg.eps2,
+                    union_coarse=cfg.tree_hier_union, eps2=cfg.eps2,
                     compensate=cfg.compensate, **sel)
             else:
                 aux = build_flat_local(

@@ -93,6 +93,7 @@ def make_treecode_run(cfg: SimConfig, backend: str | None = None):
                     x, y, z, m, src_tile=src, slack=cfg.tree_near_slack,
                     flat_cap=flat_cap, far_max=cfg.tree_far_max,
                     far_cap=cfg.tree_far_cap,
+                    union_coarse=cfg.tree_hier_union,
                     **dict(bsel, mac_tau=cfg.tree_hier_tau,
                            mac_tau0=cfg.tree_mac_tau))
 
@@ -406,7 +407,8 @@ class Simulation:
                        compensate=cfg.compensate)
             if use_hier:
                 mac = dict(mac, mac_tau=cfg.tree_hier_tau,
-                           mac_tau0=cfg.tree_mac_tau)
+                           mac_tau0=cfg.tree_mac_tau,
+                           union_coarse=cfg.tree_hier_union)
                 # The hierarchical planner sizes all four capacities
                 # consistently (its RMS-amplitude MAC and absolute-tau
                 # threshold give different counts than the single-level

@@ -294,3 +294,43 @@ def test_hier_work_beats_flat_at_matched_error():
         eps2=EPS2, compensate=COMP)
     match = float(jnp.mean(near_h32)) / float(jnp.mean(near_f))
     assert 0.98 < match < 1.02, match
+
+
+def test_union_coarse_shrinks_far_lists():
+    """Per-body-union coarse distances (tree_hier_union, the default)
+    must strictly reduce far work vs the com-minus-row-radius bound —
+    the bound collapses for wide halo target rows (min_d <= 0 against
+    every node opens the whole tree to the leaves). Census at N=262k:
+    mean far -26%, worst row -60% (docs/acceptance.md)."""
+    pos, mass = _sorted_plummer(8192, seed=3)
+    kw = dict(tile=128, src_tile=64, vip_tiles=64,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
+    near_b, far_b = tc.hier_counts(pos, mass, union_coarse=False, **kw)
+    near_u, far_u = tc.hier_counts(pos, mass, union_coarse=True, **kw)
+    far_b, far_u = np.asarray(far_b), np.asarray(far_u)
+    # The exact union distance can only be >= the bound, so acceptance
+    # can only move UP the tree: fewer far evals, never more.
+    assert far_u.mean() < far_b.mean()
+    assert far_u.max() <= far_b.max()
+    # Near work must not grow (level 0 already used unions; coarse
+    # accepts can only remove leaves from the reach set).
+    assert np.asarray(near_u).mean() <= np.asarray(near_b).mean() + 1e-9
+
+
+def test_union_coarse_error_envelope():
+    """The union-coarse acceptance must hold the same force-error class
+    as the bound-based one (accepts are still guarded by the octupole
+    (d-r)^5 criterion; only the distance estimate got exact)."""
+    n = 8192
+    pos, mass = _sorted_plummer(n, seed=11)
+    kw = dict(tile=128, src_tile=64, vip_tiles=64, theta=0.55,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
+    aux, caps = _hier_aux(pos, mass, union_coarse=True, **kw)
+    acc = _hier_acc(pos, mass, aux, caps,
+                    **{k: kw[k] for k in ("tile", "src_tile", "vip_tiles",
+                                          "theta", "compensate")})
+    exact = np.asarray(direct_acc(pos, mass, eps2=EPS2, compensate=COMP))
+    err = (np.linalg.norm(acc - exact, axis=1)
+           / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))
+    assert np.percentile(err, 99) < 2e-3
+    assert np.median(err) < 3e-4

@@ -78,6 +78,7 @@ def profile_hier(args, cfg, state, tc):
             pos, mass, tile=tile, src_tile=src, theta=cfg.tree_theta,
             vip_tiles=cfg.tree_vip_tiles, slack=cfg.tree_near_slack,
             mac_tau=cfg.tree_hier_tau, mac_tau0=cfg.tree_mac_tau,
+            union_coarse=cfg.tree_hier_union,
             eps2=cfg.eps2, compensate=cfg.compensate)
         cfg = cfg.replace(
             **{f: caps[k] for f, k in (("tree_max_near", "max_near"),
@@ -91,6 +92,7 @@ def profile_hier(args, cfg, state, tc):
     build_kw = dict(slack=cfg.tree_near_slack, flat_cap=cfg.tree_flat_cap,
                     far_max=cfg.tree_far_max, far_cap=cfg.tree_far_cap,
                     mac_tau=cfg.tree_hier_tau, mac_tau0=cfg.tree_mac_tau,
+                    union_coarse=cfg.tree_hier_union,
                     eps2=cfg.eps2, compensate=cfg.compensate, **hsel)
     acc_kw = dict(eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
                   far_max=cfg.tree_far_max, **hsel)
