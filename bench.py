@@ -42,9 +42,18 @@ def _sync(x) -> float:
 
 def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
                  probe_error: bool | None = None, windows: int = 3,
-                 **cfg_kw) -> dict:
+                 chunks: int = 1, **cfg_kw) -> dict:
     """Time one configuration; extra kwargs are SimConfig overrides
-    (used by tools/tune_small_n.py for the small-N sweep)."""
+    (used by tools/tune_small_n.py for the small-N sweep).
+
+    ``chunks`` > 1 times that many SEQUENTIAL ``run(steps)`` calls per
+    window (total steps = ``steps * chunks``). The relay's TPU worker
+    dies on single device programs much past ~60 s of execution (a
+    512-step scan at N=524,288 = ~97 s killed it; measured 2026-08-18),
+    so sustained windows must be built from <=~25 s scan chunks. The
+    per-chunk dispatch floor (~20-90 ms) biases ms/step by <1% at
+    >=128-step chunks, and every rebuild/resort/capacity effect stays
+    inside the timed window."""
     import numpy as np
 
     from n_body_problem_tpu import SimConfig, Simulation, models
@@ -63,19 +72,22 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
     # (Long sustained windows self-average the jitter; one window is
     # enough there.)
     dt = float("inf")
+    total = steps * max(chunks, 1)
     for _ in range(max(windows, 1)):
         t0 = time.perf_counter()
-        sim.run(steps)
-        _sync(sim.state.pos[0, 0])
+        for _ in range(max(chunks, 1)):
+            sim.run(steps)
+            _sync(sim.state.pos[0, 0])
         dt = min(dt, time.perf_counter() - t0)
 
     out = {
         "solver": solver,
         "n": n,
         "n_padded": sim.state.n,
-        "ms_per_step": dt / steps * 1e3,
-        "pairs_per_sec": sim.pairs_per_step() * steps / dt,
-        "padded_pairs_per_sec": sim.padded_pairs_per_step() * steps / dt,
+        "steps_timed": total,
+        "ms_per_step": dt / total * 1e3,
+        "pairs_per_sec": sim.pairs_per_step() * total / dt,
+        "padded_pairs_per_sec": sim.padded_pairs_per_step() * total / dt,
     }
     print(f"bench: {out['ms_per_step']:.3f} ms/step, "
           f"{out['pairs_per_sec']:.3e} pairs/s", file=sys.stderr)
@@ -134,7 +146,8 @@ def bench_render(n: int, solver: str) -> float:
     return (time.perf_counter() - t0) / 10 * 1e3
 
 
-def run_single(n: int, solver: str, steps: int = 0) -> dict:
+def run_single(n: int, solver: str, steps: int = 0, chunks: int = 1,
+               windows: int = 3) -> dict:
     """Benchmark one configuration; returns (and prints) the JSON record.
 
     The ``nbody bench`` CLI subcommand calls this directly (it used to
@@ -145,7 +158,7 @@ def run_single(n: int, solver: str, steps: int = 0) -> dict:
     n = n or 65536
     solver = solver or "pallas_symmetric"
     steps = steps or (8 if n > 131072 else 16)
-    r = bench_config(n, solver, steps)
+    r = bench_config(n, solver, steps, chunks=chunks, windows=windows)
     r.update({
         "metric": f"pairwise interactions/sec/chip ({solver}, N={n})",
         "value": r["pairs_per_sec"],
@@ -163,6 +176,10 @@ def main() -> None:
                     help="single-config mode: body count")
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--solver", type=str, default="")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="sequential run(steps) calls per timed window "
+                         "(sustained mode; keep each scan <= ~25 s)")
+    ap.add_argument("--windows", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -170,7 +187,8 @@ def main() -> None:
     backend = jax.default_backend()
 
     if args.n or args.solver:
-        run_single(args.n, args.solver, args.steps)
+        run_single(args.n, args.solver, args.steps, chunks=args.chunks,
+                   windows=args.windows)
         return
 
     # ---- flagship suite ----
@@ -199,9 +217,15 @@ def main() -> None:
     # window self-averages the relay's ~20-90 ms dispatch jitter to
     # <0.2 ms/step, so one timed window suffices. The headline quotes
     # the SUSTAINED rate of the largest completed leg.
-    sus524 = safe(bench_config, 524288, "treecode", steps=512, windows=1)
-    sus262 = safe(bench_config, 262144, "treecode", steps=512, windows=1)
-    sus65 = safe(bench_config, 65536, "treecode", steps=1024, windows=1)
+    # Chunked windows: the relay kills device programs much past ~60 s,
+    # so each sustained window is several sequential <=~25 s scans (see
+    # bench_config docstring).
+    sus524 = safe(bench_config, 524288, "treecode", steps=128, chunks=4,
+                  windows=1)
+    sus262 = safe(bench_config, 262144, "treecode", steps=256, chunks=2,
+                  windows=1)
+    sus65 = safe(bench_config, 65536, "treecode", steps=512, chunks=2,
+                 windows=1)
     # The reference's own workload size (VERDICT r2 #3): dataset 0 is
     # N=20,225 padded to 20,480 here; its 1.6 ms/step on the 4090 is the
     # only number the reference ever published (kernel.cu:73).
@@ -213,7 +237,8 @@ def main() -> None:
     ms_render = safe(bench_render, 65536, "pallas_symmetric")
     # Frontier N=1M legs LAST (see ordering note above).
     tree1m = safe(bench_config, 1048576, "treecode", steps=args.steps or 16)
-    sus1m = (safe(bench_config, 1048576, "treecode", steps=256, windows=1)
+    sus1m = (safe(bench_config, 1048576, "treecode", steps=64, chunks=4,
+                  windows=1)
              if tree1m is not None else None)
 
     # Headline = the SUSTAINED rate of the largest completed leg
@@ -226,9 +251,11 @@ def main() -> None:
         print("bench: every treecode leg failed; no headline to report",
               file=sys.stderr)
         sys.exit(1)
+    head_kind = ("sustained" if head in (sus1m, sus524, sus262, sus65)
+                 else "windowed")
     report = {
         "metric": "effective pairwise interactions/sec/chip "
-                  f"(treecode sustained, N={head['n']})",
+                  f"(treecode {head_kind}, N={head['n']})",
         "value": head["pairs_per_sec"],
         "unit": "pairs/s",
         "vs_baseline": head["pairs_per_sec"] / BASELINE,
