@@ -10,7 +10,8 @@ the round-3 acceptance decisions (docs/acceptance.md):
   (`tree_hier_union`: per-body-union distances at coarse levels),
 - the per-level composition (geometric decay check).
 
-Usage: python tools/hier_census.py [N ...]   (default 65536 262144)
+Usage: python tools/hier_census.py [--src TILE] [N ...]
+       (defaults: production src tile, N in {65536, 262144})
 Emits one JSON line per (N, union_coarse) plus a per-level line for
 union=True. Pure CPU: forces the local backend.
 """
@@ -29,12 +30,13 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, ".")
 
 
-def census(n: int) -> None:
+def census(n: int, src_tile: int = 0) -> None:
     from n_body_problem_tpu import SimConfig, Simulation, models
     from n_body_problem_tpu.ops import treecode as tc
 
     tile = 128
-    sim = Simulation(SimConfig(solver="treecode", tree_tile=tile),
+    kw = {"tree_src_tile": src_tile} if src_tile else {}
+    sim = Simulation(SimConfig(solver="treecode", tree_tile=tile, **kw),
                      models.plummer(n, seed=0))
     st, cfg = sim.state, sim.cfg
     src = cfg.tree_src_tile
@@ -60,9 +62,10 @@ def census(n: int) -> None:
                + [float(e.sum(1).mean()) for e in evals[1:]])
         far = np.asarray(ev0.sum(1) + sum(e.sum(1) for e in evals[1:]))
         near = np.asarray(jnp.logical_and(reach0, opens[0]).sum(1))
-        rec = dict(n=st.n, k_src=k_s, union_coarse=union,
+        rec = dict(n=st.n, src=src, k_src=k_s, union_coarse=union,
                    near_mean=round(float(near.mean()), 1),
                    near_max=int(near.max()),
+                   near_pairs_mean=round(float(near.mean()) * src, 1),
                    far_mean=round(float(far.mean()), 1),
                    far_max=int(far.max()),
                    flat_far_mean=round(float(k_s - near.mean()), 1))
@@ -73,6 +76,12 @@ def census(n: int) -> None:
 
 
 if __name__ == "__main__":
-    ns = [int(a) for a in sys.argv[1:]] or [65536, 262144]
+    args = sys.argv[1:]
+    src_arg = 0
+    if "--src" in args:
+        i = args.index("--src")
+        src_arg = int(args[i + 1])
+        del args[i:i + 2]
+    ns = [int(a) for a in args] or [65536, 262144]
     for n_arg in ns:
-        census(n_arg)
+        census(n_arg, src_arg)
