@@ -237,7 +237,10 @@ def main() -> None:
     ms_render = safe(bench_render, 65536, "pallas_symmetric")
     # Frontier N=1M legs LAST (see ordering note above).
     tree1m = safe(bench_config, 1048576, "treecode", steps=args.steps or 16)
-    sus1m = (safe(bench_config, 1048576, "treecode", steps=64, chunks=4,
+    # 48-step chunks: 1M runs ~470 ms/step, so 64-step chunks (~30 s)
+    # graze the relay's ~60 s program kill; 48 (~23 s) is the safe size
+    # (measured 2026-08-18: 467.9 ms/step sustained = 9.04x baseline).
+    sus1m = (safe(bench_config, 1048576, "treecode", steps=48, chunks=5,
                   windows=1)
              if tree1m is not None else None)
 
