@@ -35,6 +35,8 @@ SWEEP = [
     ("vip0", {"tree_vip_tiles": 0}),
     ("src32", {"tree_src_tile": 32}),
     ("tau3e-4", {"tree_mac_tau": 3e-4}),
+    ("tau5e-4", {"tree_mac_tau": 5e-4}),
+    ("slack4", {"tree_near_slack": 4}),
     ("flat", {"tree_hier": False}),
     ("rebuild16_vip16", {"tree_rebuild_every": 16, "tree_vip_tiles": 16}),
 ]
@@ -58,11 +60,19 @@ def main() -> None:
     ap.add_argument("--mode", choices=["sweep", "crossover"],
                     default="sweep")
     ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--legs", type=str, default="",
+                    help="comma-separated leg names to run (sweep mode); "
+                         "run one leg per process so a relay crash cannot "
+                         "poison the remaining legs' client")
+    ap.add_argument("--n", type=int, default=0,
+                    help="crossover mode: run this single N only")
     args = ap.parse_args()
 
     if args.mode == "sweep":
+        picked = ([s for s in SWEEP if s[0] in args.legs.split(",")]
+                  if args.legs else SWEEP)
         results = [leg(name, SWEEP_N, args.steps, **kw)
-                   for name, kw in SWEEP]
+                   for name, kw in picked]
         done = [r for r in results if r]
         if done:
             best = min(done, key=lambda r: r["ms_per_step"])
@@ -74,7 +84,8 @@ def main() -> None:
                 "best_force_err_p99": best.get("force_err_p99"),
             }))
     else:
-        results = [leg(f"n{n}", n, args.steps) for n in CROSSOVER_NS]
+        ns = [args.n] if args.n else CROSSOVER_NS
+        results = [leg(f"n{n}", n, args.steps) for n in ns]
         done = [r for r in results if r]
         # Crossover: log-linear interpolation of vs_baseline over N
         # between the bracketing pair.

@@ -128,6 +128,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=20000)
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--check-every", type=int, default=1000)
+    ap.add_argument("--chunk-steps", type=int, default=0,
+                    help="device scan length per run() call (0 = check-every)."
+                         " The sandbox relay kills device programs much past"
+                         " ~60 s, so at N=1M (~470 ms/step) chunks must stay"
+                         " <= ~48 steps even when the exact O(N^2) energy"
+                         " diagnostic should only run every ~1000 steps")
     ap.add_argument("--solver", default="auto")
     ap.add_argument("--integrator", default="leapfrog")
     ap.add_argument("--dt", type=float, default=0.008)
@@ -166,10 +172,15 @@ def main() -> None:
     history = []
     t0 = time.perf_counter()
     done = 0
+    chunk = args.chunk_steps or args.check_every
+    next_check = args.check_every
     while done < args.steps:
-        todo = min(args.check_every, args.steps - done)
+        todo = min(chunk, args.steps - done)
         sim.run(todo)
         done += todo
+        if done < min(next_check, args.steps):
+            continue
+        next_check += args.check_every
         d = sim.diagnostics()
         drift = (d["energy"] - e0) / abs(e0)
         history.append({
