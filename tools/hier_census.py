@@ -30,12 +30,17 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, ".")
 
 
-def census(n: int, src_tile: int = 0) -> None:
+def census(n: int, src_tile: int = 0, tau0: float = 0.0,
+           hier_tau: float = 0.0) -> None:
     from n_body_problem_tpu import SimConfig, Simulation, models
     from n_body_problem_tpu.ops import treecode as tc
 
     tile = 128
     kw = {"tree_src_tile": src_tile} if src_tile else {}
+    if tau0:
+        kw["tree_mac_tau"] = tau0
+    if hier_tau:
+        kw["tree_hier_tau"] = hier_tau
     sim = Simulation(SimConfig(solver="treecode", tree_tile=tile, **kw),
                      models.plummer(n, seed=0))
     st, cfg = sim.state, sim.cfg
@@ -77,11 +82,18 @@ def census(n: int, src_tile: int = 0) -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    src_arg = 0
-    if "--src" in args:
-        i = args.index("--src")
-        src_arg = int(args[i + 1])
-        del args[i:i + 2]
+
+    def _opt(name: str, cast):
+        if name in args:
+            i = args.index(name)
+            v = cast(args[i + 1])
+            del args[i:i + 2]
+            return v
+        return cast(0)
+
+    src_arg = _opt("--src", int)
+    tau0_arg = _opt("--tau0", float)
+    hier_tau_arg = _opt("--hier-tau", float)
     ns = [int(a) for a in args] or [65536, 262144]
     for n_arg in ns:
-        census(n_arg, src_arg)
+        census(n_arg, src_arg, tau0_arg, hier_tau_arg)

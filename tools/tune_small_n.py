@@ -39,6 +39,20 @@ SWEEP = [
     ("slack4", {"tree_near_slack": 4}),
     ("flat", {"tree_hier": False}),
     ("rebuild16_vip16", {"tree_rebuild_every": 16, "tree_vip_tiles": 16}),
+    # Census-modelled combos (docs/acceptance.md src-tile frontier): at
+    # N=20,480 src32+tau5e-4 halves near+far pair work vs default
+    # (4,964 near + 2x335 far vs 10,794 + 2x112 per row).
+    ("src32_tau5e-4", {"tree_src_tile": 32, "tree_mac_tau": 5e-4}),
+    ("src32_tau5e-4_rebuild16", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                                 "tree_rebuild_every": 16}),
+    ("src32_tau1e-3", {"tree_src_tile": 32, "tree_mac_tau": 1e-3}),
+    ("src32_tau5e-4_vip16", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                             "tree_vip_tiles": 16}),
+    # rebuild32 was the best single knob in the first sweep pass
+    # (2.408 ms vs 2.572 default); combine it with the census winner.
+    ("src32_tau5e-4_rebuild32", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                                 "tree_rebuild_every": 32}),
+    ("src32_rebuild32", {"tree_src_tile": 32, "tree_rebuild_every": 32}),
 ]
 CROSSOVER_NS = [20480, 32768, 49152, 65536]
 
