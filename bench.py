@@ -228,8 +228,15 @@ def main() -> None:
                  windows=1)
     # The reference's own workload size (VERDICT r2 #3): dataset 0 is
     # N=20,225 padded to 20,480 here; its 1.6 ms/step on the 4090 is the
-    # only number the reference ever published (kernel.cu:73).
-    tree20 = safe(bench_config, 20480, "treecode", steps=args.steps or 256)
+    # only number the reference ever published (kernel.cu:73). The leg
+    # runs the measured small-N tuned config (tools/tune_small_n.py
+    # sweep: 2.57 -> 1.79 ms/step; see config.tuned_tree_overrides).
+    from n_body_problem_tpu.config import tuned_tree_overrides
+
+    tree20 = safe(bench_config, 20480, "treecode", steps=args.steps or 256,
+                  **tuned_tree_overrides(20480))
+    sus20 = safe(bench_config, 20480, "treecode", steps=512, chunks=2,
+                 windows=1, **tuned_tree_overrides(20480))
     exact20 = safe(bench_config, 20480, "pallas_symmetric",
                    steps=args.steps or 64)
     exact = safe(bench_config, 65536, "pallas_symmetric",
@@ -273,7 +280,7 @@ def main() -> None:
                      ("65k", tree65), ("20k", tree20),
                      ("sustained_1m", sus1m),
                      ("sustained_524k", sus524), ("sustained_262k", sus262),
-                     ("sustained_65k", sus65)):
+                     ("sustained_65k", sus65), ("sustained_20k", sus20)):
         if leg is not None:
             report[f"tree_pairs_per_sec_{tag}"] = leg["pairs_per_sec"]
             report[f"tree_ms_per_step_{tag}"] = leg["ms_per_step"]

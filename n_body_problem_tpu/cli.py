@@ -95,6 +95,10 @@ def cmd_run(args) -> int:
     cfg = _build_config(args, base=ck_cfg)
     if args.morton_sort:
         cfg = cfg.replace(morton_sort=True)
+    if getattr(args, "tree_tuned", False):
+        from n_body_problem_tpu.config import tuned_tree_overrides
+
+        cfg = cfg.replace(**tuned_tree_overrides(state.n_real))
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -298,6 +302,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--profile", action="store_true")
     r.add_argument("--morton-sort", action="store_true",
                    help="Z-order bodies at init (tile locality)")
+    r.add_argument("--tree-tuned", action="store_true",
+                   help="apply the measured per-N treecode tuning table "
+                        "(config.tuned_tree_overrides; small-N sweep)")
     r.add_argument("--devices", type=int, default=1,
                    help="shard bodies over a ring mesh of this many devices")
     r.add_argument("--strategy", default="ring",

@@ -24,6 +24,26 @@ def resolve_vip_tiles(vip_tiles: int, n: int) -> int:
     return max(16, min(128, n // 2048))
 
 
+def tuned_tree_overrides(n: int) -> dict[str, Any]:
+    """Measured per-N treecode overrides (one v5e, 2026-08-18 sweep,
+    ``tools/tune_small_n.py``; defaults stay untouched — callers opt in
+    via ``SimConfig(solver="treecode", **tuned_tree_overrides(n))``,
+    the CLI's ``--tree-tuned``, or bench.py's small-N legs).
+
+    Below ~32k bodies the flat-path near/far balance shifts: the
+    32-body source tile halves near pair work for +44% (cheap) far
+    evals, a looser tau (5e-4) matches the ~1e-3 p99 error class of
+    the large-N legs instead of over-resolving, and a 32-step rebuild
+    cadence amortizes the (relatively large at small N) build. At
+    N=20,480 this is 2.57 -> 1.79 ms/step measured; large N keeps the
+    tuned defaults (the same sweep's tile/tau changes regressed there).
+    """
+    if n <= 32768:
+        return {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                "tree_rebuild_every": 32, "tree_near_slack": 4}
+    return {}
+
+
 SOLVERS = (
     "auto",        # pallas on TPU, mxu elsewhere
     "direct",      # one-shot jnp O(N^2); the serial ground truth (kernel.cu:891-923 role)

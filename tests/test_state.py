@@ -83,6 +83,21 @@ def test_config_roundtrip(tmp_path):
         SimConfig(solver="nope")
 
 
+def test_tuned_tree_overrides():
+    """The measured per-N tuning table yields valid SimConfig overrides
+    and a runnable small-N treecode Simulation (tools/tune_small_n.py)."""
+    from n_body_problem_tpu.config import tuned_tree_overrides
+    from n_body_problem_tpu import Simulation
+
+    small = tuned_tree_overrides(20480)
+    assert small["tree_src_tile"] == 32  # census-modelled, TPU-measured
+    cfg = SimConfig(solver="treecode", **small)  # all keys valid fields
+    assert SimConfig(**tuned_tree_overrides(1 << 20)) is not None
+    sim = Simulation(cfg, models.plummer(4096, seed=0))
+    sim.run(4)
+    assert bool(jnp.all(jnp.isfinite(sim.state.pos)))
+
+
 def test_config_toml(tmp_path):
     p = tmp_path / "cfg.toml"
     p.write_text('dt = 0.002\nsolver = "blocked"\nintegrator = "leapfrog"\n')

@@ -53,6 +53,16 @@ SWEEP = [
     ("src32_tau5e-4_rebuild32", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
                                  "tree_rebuild_every": 32}),
     ("src32_rebuild32", {"tree_src_tile": 32, "tree_rebuild_every": 32}),
+    # Near cost rides the compacted flat_cap = union of opens over a
+    # TARGET tile; at small N a 64-row target tile tightens the union
+    # (the 128-row default was tuned at 262k+). Profiled 2026-08-18:
+    # near = 0.79 of the 1.82 ms/step at tile=128.
+    ("best_tile64", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                     "tree_rebuild_every": 32, "tree_tile": 64}),
+    ("best_tile32", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                     "tree_rebuild_every": 32, "tree_tile": 32}),
+    ("best_slack4", {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
+                     "tree_rebuild_every": 32, "tree_near_slack": 4}),
 ]
 CROSSOVER_NS = [20480, 32768, 49152, 65536]
 
