@@ -32,15 +32,21 @@ def tuned_tree_overrides(n: int) -> dict[str, Any]:
 
     Below ~32k bodies the flat-path near/far balance shifts: the
     32-body source tile halves near pair work for +44% (cheap) far
-    evals, a looser tau (5e-4) matches the ~1e-3 p99 error class of
-    the large-N legs instead of over-resolving, and a 32-step rebuild
-    cadence amortizes the (relatively large at small N) build. At
-    N=20,480 this is 2.57 -> 1.79 ms/step measured; large N keeps the
-    tuned defaults (the same sweep's tile/tau changes regressed there).
+    evals and a 32-step rebuild cadence amortizes the (relatively
+    large at small N) build. At the reference's own N=20,480 a looser
+    tau (5e-4) additionally stays inside the ~1e-3 p99 class of the
+    flagship legs (measured 1.15e-3) for 2.57 -> 1.79 ms/step; at
+    24k-32k the same tau measured ~4e-3 p99, so that bracket keeps
+    the default tau (0.93x baseline at 24,576, p99 1.7e-3). Large N
+    keeps the tuned defaults entirely (the sweep's tile/tau/src
+    changes regressed there — src32 at 262k: 76.3 vs 72.6 ms/step).
     """
-    if n <= 32768:
+    if n <= 20480:
         return {"tree_src_tile": 32, "tree_mac_tau": 5e-4,
                 "tree_rebuild_every": 32, "tree_near_slack": 4}
+    if n <= 32768:
+        return {"tree_src_tile": 32, "tree_rebuild_every": 32,
+                "tree_near_slack": 4}
     return {}
 
 
