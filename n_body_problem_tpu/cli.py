@@ -97,8 +97,14 @@ def cmd_run(args) -> int:
         cfg = cfg.replace(morton_sort=True)
     if getattr(args, "tree_tuned", False):
         from n_body_problem_tpu.config import tuned_tree_overrides
+        from n_body_problem_tpu.ops.forces import required_padding
 
-        cfg = cfg.replace(**tuned_tree_overrides(state.n_real))
+        # Bracket on the PADDED body count (what Simulation will run and
+        # what the tuning table was measured at — bench.py's 20,480 leg is
+        # dataset 0's padded size), not n_real (ADVICE r3). The treecode
+        # pad multiple is 256 for every tile/src_tile combination in use.
+        padded = required_padding("treecode", state.n_real, cfg.block_size)
+        cfg = cfg.replace(**tuned_tree_overrides(padded))
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 

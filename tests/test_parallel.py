@@ -194,6 +194,7 @@ def test_sharded_leapfrog_prime_matches_single_chip(mesh):
                                    rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_treecode_matches_single_chip(mesh):
     """The distributed Barnes-Hut (replicated sources, sharded target
     rows, global deterministic resort) must reproduce the single-chip
@@ -223,6 +224,7 @@ def test_sharded_treecode_matches_single_chip(mesh):
     assert d["overspeed"] == 0 and np_.isfinite(d["energy"])
 
 
+@pytest.mark.slow
 def test_sharded_treecode_leapfrog_and_energy(mesh):
     from n_body_problem_tpu.parallel.sharded import ShardedSimulation
 
@@ -237,6 +239,7 @@ def test_sharded_treecode_leapfrog_and_energy(mesh):
     assert d["overspeed"] == 0
 
 
+@pytest.mark.slow
 def test_sharded_flat_treecode_matches_single_chip(mesh):
     """The sharded FLAT (mean-bound columnar) treecode — per-chip
     compacted work lists, replicated sources, multi-operand-sort global
@@ -267,6 +270,7 @@ def test_sharded_flat_treecode_matches_single_chip(mesh):
     assert d["overspeed"] == 0 and np.isfinite(d["energy"])
 
 
+@pytest.mark.slow
 def test_sharded_flat_treecode_d16():
     """Flat sharded treecode beyond the smoke mesh (D=16): per-chip work
     lists, 16-way gathered columnar resort, psum'd VIP reactions — must
@@ -316,6 +320,7 @@ def test_sharded_flat_treecode_65k_multi_step():
     assert proc.returncode == 0, proc.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_sharded_hier_treecode_matches_single_chip(mesh):
     """The sharded HIERARCHICAL treecode (round 3): per-chip compacted
     near AND multi-level far lists from globally-redundant level

@@ -303,6 +303,7 @@ def test_flat_capacity_overflow_is_consistent():
     assert np.isfinite(np.asarray(got)).all()
 
 
+@pytest.mark.slow
 def test_mac_criterion_beats_theta_at_matched_cost():
     """The mass-aware MAC (tree_mac_tau > 0) must be substantially more
     accurate than the geometric theta test at comparable open counts —
@@ -355,6 +356,7 @@ def test_mac_criterion_beats_theta_at_matched_cost():
     assert e_mac < 1.5e-3
 
 
+@pytest.mark.slow
 def test_flat_treecode_movie_matches_run():
     """The flat treecode movie runs the SAME chunked resort+rebuild
     machinery as run() between frames (long-movie safety); with
@@ -382,6 +384,7 @@ def test_flat_treecode_movie_matches_run():
         np.asarray(sim_b.state.pos[:n])[inv_b], rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_flat_treecode_trajectory_matches_run():
     """trajectory() on the flat path uses the same chunked machinery, and
     every frame is un-permuted to the call-entry body order (ADVICE r2:

@@ -82,6 +82,7 @@ def test_level_summaries_exact_merge():
              + (mb * d[:, :, 2] ** 2).sum(1)) / mt_d, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_chain_coverage_partition():
     """Every (target row, source leaf) pair is covered exactly once:
     near-candidate or the topmost accepted ancestor."""
@@ -108,6 +109,7 @@ def test_chain_coverage_partition():
     assert cover.min() == 1 and cover.max() == 1
 
 
+@pytest.mark.slow
 def test_hier_force_error_envelope():
     """End-to-end hierarchical force vs the exact oracle: the p99
     relative error stays in the expected MAC class."""
@@ -125,6 +127,7 @@ def test_hier_force_error_envelope():
     assert np.median(err) < 5e-4, np.median(err)
 
 
+@pytest.mark.slow
 def test_hier_matches_flat_quality():
     """The hierarchical path must stay in the flat path's error class
     at the default taus (it computes the SAME near
@@ -157,6 +160,7 @@ def test_hier_matches_flat_quality():
                                                         p99(acc_f))
 
 
+@pytest.mark.slow
 def test_hier_exact_limit():
     """tau -> 0 opens everything: the near field computes every pair
     exactly and the far lists are empty; the result must match the
@@ -175,6 +179,7 @@ def test_hier_exact_limit():
     assert np.percentile(err, 99) < 1e-5, np.percentile(err, 99)
 
 
+@pytest.mark.slow
 def test_hier_far_overflow_sheds_weakest():
     """A deliberately small far_cap must stay finite and lose only the
     weakest contributors (error grows but stays bounded)."""

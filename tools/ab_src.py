@@ -8,10 +8,11 @@ costs, so the default flips only on this measured A/B.
 
 Usage: python tools/ab_src.py [N] [steps]   (run on the real TPU)
 """
-import sys
 import json
+import os
+import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import BASELINE, bench_config  # noqa: E402
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
