@@ -2180,6 +2180,82 @@ def _far_hier_kernel(ctgt_ref, fsrc_ref, rows_ref, acc_ref, *refs,
             out_ref[...] += upd
 
 
+def _far_hier_kernel_vmem(ctgt_ref, fsrc_ref, rows_ref, acc_ref, summ_ref,
+                          out_ref, *, c2, eps2, gc, entries, k_t):
+    """VMEM-resident variant of :func:`_far_hier_kernel`: the WHOLE
+    summary panel lives in VMEM (one (K_total+1, 128) block, constant
+    index map) and each grid step gathers its FAR_ENTRIES node rows with
+    dynamic sublane slices — no per-entry HBM DMA exists.
+
+    Why: the HBM-prefetch kernel issues FAR_ENTRIES scattered 512-byte
+    DMAs per grid step; at small N the far field is latency-bound on
+    those (measured at N=20,480 tuned: 0.44 ms/step for ~809 used chunks
+    = 26 MB of 512-B fetches at an effective ~59 GB/s). Below
+    ``_SUMM_VMEM_BYTES`` the panel fits VMEM whole, turning the gather
+    into register-speed loads (the paged-attention pattern). Physics
+    identical; selected automatically in the callers.
+    """
+    p = pl.program_id(0)
+    tgt = ctgt_ref[p]
+    prev = ctgt_ref[jnp.maximum(p - 1, 0)]
+    first = jnp.logical_or(p == 0, tgt != prev)
+
+    @pl.when(tgt != k_t)
+    def _():
+        s = jnp.concatenate(
+            [summ_ref[pl.ds(fsrc_ref[p * entries + e], 1), :]
+             for e in range(entries)], axis=0)           # (E, 128)
+        xi = rows_ref[0, 0:1, :]                         # (1, T)
+        yi = rows_ref[0, 1:2, :]
+        zi = rows_ref[0, 2:3, :]
+        dx = s[:, 0:1] - xi                              # (E, T)
+        dy = s[:, 1:2] - yi
+        dz = s[:, 2:3] - zi
+        m = s[:, 3:4]
+        r2 = dx * dx + dy * dy + dz * dz
+        u2 = 1.0 / (c2 * r2 + eps2)
+        u = jnp.sqrt(u2)
+        u3 = u2 * u
+        u5 = u3 * u2
+        u7 = u5 * u2
+        sdx = s[:, 4:5] * dx + s[:, 7:8] * dy + s[:, 8:9] * dz
+        sdy = s[:, 7:8] * dx + s[:, 5:6] * dy + s[:, 9:10] * dz
+        sdz = s[:, 8:9] * dx + s[:, 9:10] * dy + s[:, 6:7] * dz
+        q = dx * sdx + dy * sdy + dz * sdz
+        c4 = c2 * c2
+        c6 = c4 * c2
+        wd = (m * c2 * u3 - 1.5 * c4 * s[:, 10:11] * u5
+              + 7.5 * c6 * q * u7) * gc
+        ws = (-3.0 * c4 * u5) * gc
+        t = rows_ref.shape[2]
+        upd = jnp.concatenate(
+            [
+                jnp.sum(wd * dx + ws * sdx, axis=0, keepdims=True),
+                jnp.sum(wd * dy + ws * sdy, axis=0, keepdims=True),
+                jnp.sum(wd * dz + ws * sdz, axis=0, keepdims=True),
+                jnp.zeros((5, t), out_ref.dtype),
+            ],
+            axis=0,
+        )[None]
+
+        @pl.when(first)
+        def _():
+            out_ref[...] = acc_ref[...] + upd
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[...] += upd
+
+
+# Whole-panel VMEM residency threshold for the far kernel: the summary
+# panel is (K_total + 1) x 128 f32 = 512 B/node. 3 MiB covers N=262,144
+# at src_tile=64 (K_total ~ 5,460 nodes = 2.8 MiB) while leaving the
+# rest of VMEM to the rows/acc pipeline; past it (524k+) the
+# scalar-prefetch HBM kernel takes over (the DMA latency amortizes at
+# large N where compute dominates).
+_SUMM_VMEM_BYTES = 3 * 2**20
+
+
 def _far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt, *,
                          eps2: float, c2: float, G: float, tile: int,
                          interpret: bool,
@@ -2187,7 +2263,9 @@ def _far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt, *,
     """(K_t + 1, 8, T) raw far accumulator (rows 0..2 of axis 1 are the
     acceleration columns; the trailing target row is sentinel scratch).
     Segmented so the scalar prefetch fits SMEM, accumulator aliased
-    through the segments (same structure as _near_field_flat_cols)."""
+    through the segments (same structure as _near_field_flat_cols).
+    Small summary panels (< _SUMM_VMEM_BYTES) ride the VMEM-resident
+    gather kernel instead of per-entry HBM DMAs."""
     n = xc.shape[0]
     k_t = n // tile
     f32 = jnp.float32
@@ -2203,9 +2281,44 @@ def _far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt, *,
     def make_map(s):
         return lambda p, ct, fs: (fs[p * FAR_ENTRIES + s], 0, 0)
 
+    use_vmem = summ.shape[0] * 512 <= _SUMM_VMEM_BYTES
+    summ2d = summ[:, 0, :] if use_vmem else None      # (K_total + 1, 128)
+
     seg = max(1, min(n_chunks, seg_budget // (FAR_ENTRIES + 1)))
     for start in range(0, n_chunks, seg):
         size = min(seg, n_chunks - start)
+        if use_vmem:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(size,),
+                in_specs=[
+                    pl.BlockSpec((1, 4, tile),
+                                 lambda p, ct, fs: (ct[p], 0, 0)),
+                    pl.BlockSpec((1, 8, tile),
+                                 lambda p, ct, fs: (ct[p], 0, 0)),
+                    pl.BlockSpec(summ2d.shape, lambda p, ct, fs: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 8, tile),
+                                       lambda p, ct, fs: (ct[p], 0, 0)),
+            )
+            acc = pl.pallas_call(
+                functools.partial(_far_hier_kernel_vmem, c2=float(c2),
+                                  eps2=float(eps2), gc=float(gc),
+                                  entries=FAR_ENTRIES, k_t=k_t),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((k_t + 1, 8, tile), f32),
+                # operands: (ct, fs, rows, acc, summ) — acc aliases out.
+                input_output_aliases={3: 0},
+                cost_estimate=pl.CostEstimate(
+                    flops=45 * size * tile * FAR_ENTRIES,
+                    bytes_accessed=(size * tile * 12 + summ2d.size) * 4,
+                    transcendentals=size * tile * FAR_ENTRIES,
+                ),
+                interpret=interpret,
+            )(far_tgt[start:start + size],
+              far_src[start * FAR_ENTRIES:(start + size) * FAR_ENTRIES],
+              rows, acc, summ2d)
+            continue
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(size,),

@@ -339,3 +339,37 @@ def test_union_coarse_error_envelope():
            / np.maximum(np.linalg.norm(exact, axis=1), 1e-12))
     assert np.percentile(err, 99) < 2e-3
     assert np.median(err) < 3e-4
+
+
+def test_far_vmem_kernel_matches_hbm():
+    """The VMEM-resident far kernel (whole summary panel resident, node
+    rows gathered by dynamic sublane slices) must reproduce the
+    scalar-prefetch HBM-DMA kernel exactly — the auto-switch at
+    _SUMM_VMEM_BYTES changes the fetch path, never the math. Measured
+    win on the real TPU at N=20,480 tuned: far stage 0.44 -> 0.24
+    ms/step (the HBM kernel is latency-bound on FAR_ENTRIES scattered
+    512-B fetches per grid step at small N)."""
+    n = 4096
+    pos, mass = _sorted_plummer(n, seed=3)
+    kw = dict(tile=128, src_tile=64, vip_tiles=8, theta=0.55,
+              mac_tau=tc.DEFAULT_HIER_TAU, eps2=EPS2, compensate=COMP)
+    aux, caps = _hier_aux(pos, mass, union_coarse=True, **kw)
+    _, _, far_src, far_tgt, is_vip = aux
+    xc, yc, zc = pos[:, 0], pos[:, 1], pos[:, 2]
+    plan = tc._level_plan(n // 64)
+    levels = tc._level_summaries(xc, yc, zc, jnp.where(is_vip, 0.0, mass),
+                                 64, plan, tc.HIER_BRANCH)
+    summ = tc._summary_panel(levels)
+    assert summ.shape[0] * 512 <= tc._SUMM_VMEM_BYTES  # vmem path engaged
+    a_vmem = tc._far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt,
+                                     eps2=EPS2, c2=COMP * COMP, G=1.0,
+                                     tile=128, interpret=True)
+    orig = tc._SUMM_VMEM_BYTES
+    try:
+        tc._SUMM_VMEM_BYTES = 0  # force the HBM-DMA kernel
+        a_hbm = tc._far_field_hier_cols(xc, yc, zc, summ, far_src, far_tgt,
+                                        eps2=EPS2, c2=COMP * COMP, G=1.0,
+                                        tile=128, interpret=True)
+    finally:
+        tc._SUMM_VMEM_BYTES = orig
+    np.testing.assert_array_equal(np.asarray(a_vmem), np.asarray(a_hbm))
