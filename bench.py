@@ -78,6 +78,20 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
     for _ in range(max(warmup, 1)):
         sim.run(steps)
         _sync(sim.state.pos[0, 0])
+
+    # Snapshot the post-warmup state for the error probe BEFORE the timed
+    # windows evolve it further. Probe depth must be a fixed function of
+    # the leg (warmup * steps), not of how many timed windows follow:
+    # force error grows as the Plummer core collapses (measured at
+    # N=20,480, tau 5e-4: p99 1.15e-3 after ~1k steps vs 4.7e-3 after
+    # ~2.5k — bit-identical across code versions, i.e. a protocol effect,
+    # bisected 2026-08-19), so probing the final state made the reported
+    # envelope depend on window count and broke cross-round comparisons.
+    # Host copies: with cfg.donate the timed windows donate (delete) the
+    # snapshot's device buffers.
+    probe_pos = np.asarray(sim.state.pos)
+    probe_mass = np.asarray(sim.state.mass)
+
     # Best of `windows` timed windows: the relay adds multi-ms jitter.
     # (Long sustained windows self-average the jitter; one window is
     # enough there.)
@@ -106,8 +120,9 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         probe_error = solver == "treecode"
     if probe_error:
         # Accuracy rides along with every effective-throughput claim:
-        # exact oracle on sampled bodies of the EVOLVED state. 2,048
-        # stride-sampled bodies bound p99 well even for a 524k
+        # exact oracle on sampled bodies of the post-warmup state (fixed
+        # probe depth = warmup * steps; see the snapshot note above).
+        # 2,048 stride-sampled bodies bound p99 well even for a 524k
         # population: the empirical 99th percentile of m samples has
         # quantile-rank s.e. sqrt(.01*.99/m) ~ 0.22%, i.e. the estimate
         # sits between the true p98.3 and p99.7 (95% CI) regardless of
@@ -117,17 +132,23 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         from n_body_problem_tpu.ops.forces import pair_accel_tile
         from n_body_problem_tpu.ops.registry import make_force_fn
 
-        state = sim.state
-        sub = np.arange(0, state.n, max(state.n // 2048, 1))
-        force_fn = make_force_fn(sim.cfg, n=state.n)
-        approx = np.asarray(force_fn(state.pos, state.mass))[sub]
+        import jax.numpy as jnp
+
+        n_pad = probe_pos.shape[0]
+        out["probe_depth_steps"] = steps * max(warmup, 1)
+        sub = np.arange(0, n_pad, max(n_pad // 2048, 1))
+        force_fn = make_force_fn(sim.cfg, n=n_pad)
+        # Fresh device copies per consumer: force_fn may donate its args.
+        approx = np.asarray(force_fn(jnp.asarray(probe_pos),
+                                     jnp.asarray(probe_mass)))[sub]
         # Chunk the oracle rows: pair_accel_tile materializes (I, N, 3),
         # which OOMs past N ~ 300k at I = 2048. Budget ~1.5 GB of
         # transient per chunk (I*N*12 bytes) so the probe survives N=1M.
-        rows = min(512, max(64, int(1.5e9 // (12 * state.n))))
+        rows = min(512, max(64, int(1.5e9 // (12 * n_pad))))
+        dev_pos, dev_mass = jnp.asarray(probe_pos), jnp.asarray(probe_mass)
         exact = np.concatenate([
             np.asarray(pair_accel_tile(
-                state.pos[sub[a:a + rows]], state.pos, state.mass,
+                dev_pos[sub[a:a + rows]], dev_pos, dev_mass,
                 eps2=cfg.eps2, compensate=cfg.compensate, G=cfg.G,
             )) for a in range(0, len(sub), rows)
         ])
@@ -223,8 +244,12 @@ def main() -> None:
         # 4090 at N=20,225 = padded 20,480 — the only number it ever
         # published), with the measured small-N tuned config
         # (config.tuned_tree_overrides, tools/tune_small_n.py sweep).
-        ("sustained_20k", dict(n=20480, solver="treecode", steps=512,
-                               chunks=2, windows=1,
+        # One 1024-step chunk (~1.6 s device program, far under the
+        # relay's ~60 s kill): halving the per-window dispatch count
+        # halves the ~28 ms relay floor's share (~0.03 ms/step at this
+        # leg's 1.6 ms steps).
+        ("sustained_20k", dict(n=20480, solver="treecode", steps=1024,
+                               chunks=1, windows=1,
                                **tuned_tree_overrides(20480))),
         ("20k", dict(n=20480, solver="treecode", steps=256, windows=2,
                      **tuned_tree_overrides(20480))),
