@@ -1,27 +1,33 @@
 """Flagship benchmark: effective pairwise interactions/sec on one chip.
 
 Default (no args) runs the HEADLINE suite — four sustained treecode
-legs, cheapest first:
+legs:
 
-1. N=20,480 tuned (the reference's own workload; its 1.6 ms/step on the
-   4090, ``kernel.cu:73``, is the only number it ever published),
-2. N=65,536 (the reference-comparable scale),
-3. N=524,288 and 4. N=1,048,576 (the single-chip flagship scales).
+1. N=524,288 and 2. N=1,048,576 (the single-chip flagship scales —
+   ordered FIRST so their keys land in a driver-truncated record),
+3. N=20,480 tuned (the reference's own workload; its 1.6 ms/step on the
+   4090, ``kernel.cu:73``, is the only number it ever published —
+   driver-captured at 1.04x in ``BENCH_r04.json``),
+4. N=65,536 (the reference-comparable scale).
 
 Each leg runs hundreds of steps through ``run()`` (every rebuild,
 resort and capacity effect inside the timed window, compile excluded by
 a same-length warmup) and measures its force-error envelope in the same
-run against an exact oracle on 2,048 sampled bodies, so every
-effective-throughput claim carries its accuracy alongside (~1e-3 p99
-relative force error at the default tau).
+run against an exact oracle on 2,048 sampled bodies of the post-warmup
+state (fixed probe depth), so every effective-throughput claim carries
+its accuracy alongside (~1e-3 p99 relative force error at the default
+tau).
 
-Output protocol (round-4, VERDICT r3 #1): after EVERY completed leg the
-full cumulative report is re-printed as one JSON line (``flush=True``).
-The last JSON line on stdout is therefore always the most complete
-record — a driver timeout mid-suite still captures every finished leg
-instead of zeroing the round's evidence (round 3's official record was
-``rc: 124, parsed: null`` because the old layout printed once at the
-very end). ``legs_done``/``legs_total`` mark partial snapshots.
+Output protocol (round-5, VERDICT r4 #1): two phases. Phase 1 runs ONLY
+the four timings, re-printing the full cumulative report as one JSON
+line (``flush=True``) after EVERY leg — the flagship 524k/1M keys land
+before any probe budget is spent. Phase 2 replays the deferred error
+probes (cheapest first), re-flushing after each. The last JSON line on
+stdout is therefore always the most complete record — a driver timeout
+mid-suite costs at worst the remaining probes' error fields, never a
+finished timing (round 4 lost a finished 65k timing to a probe-time
+kill; round 3 lost everything to a print-once-at-the-end layout).
+``legs_done``/``legs_total`` mark partial snapshots.
 
 ``--full`` appends the secondary legs (windowed variants, N=262,144,
 the 24k/32k crossover-bracket legs, the exact ``pallas_symmetric``
@@ -50,11 +56,21 @@ def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
-def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
-                 probe_error: bool | None = None, windows: int = 3,
-                 chunks: int = 1, **cfg_kw) -> dict:
-    """Time one configuration; extra kwargs are SimConfig overrides
-    (used by tools/tune_small_n.py for the small-N sweep).
+def time_config(n: int, solver: str, steps: int, warmup: int = 1,
+                probe_error: bool | None = None, windows: int = 3,
+                chunks: int = 1, **cfg_kw):
+    """Time one configuration; returns ``(record, probe_fn)``.
+
+    ``record`` carries the timing; ``probe_fn`` (or ``None``) is a
+    deferred closure that runs the exact-oracle error probe and mutates
+    ``record`` in place with the ``force_err_*`` fields. The split
+    exists so the suite can FLUSH a finished timing before spending the
+    probe's ~2 remote compiles on it — round 4 lost a finished 65k
+    timing (9.844 ms/step, visible in the captured stderr tail) because
+    the driver kill arrived during its probe (VERDICT r4 #1).
+
+    Extra kwargs are SimConfig overrides (used by tools/tune_small_n.py
+    for the small-N sweep).
 
     ``chunks`` > 1 times that many SEQUENTIAL ``run(steps)`` calls per
     window (total steps = ``steps * chunks``). The relay's TPU worker
@@ -88,9 +104,12 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
     # bisected 2026-08-19), so probing the final state made the reported
     # envelope depend on window count and broke cross-round comparisons.
     # Host copies: with cfg.donate the timed windows donate (delete) the
-    # snapshot's device buffers.
+    # snapshot's device buffers (regression: two "Array has been deleted"
+    # rows in tune_small_n_20260819.jsonl came from probing the live
+    # state after donation — the probe must consume these host copies).
     probe_pos = np.asarray(sim.state.pos)
     probe_mass = np.asarray(sim.state.mass)
+    rcfg = sim.cfg  # resolved config (auto caps filled in)
 
     # Best of `windows` timed windows: the relay adds multi-ms jitter.
     # (Long sustained windows self-average the jitter; one window is
@@ -118,7 +137,10 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
 
     if probe_error is None:
         probe_error = solver == "treecode"
-    if probe_error:
+    if not probe_error:
+        return out, None
+
+    def probe() -> dict:
         # Accuracy rides along with every effective-throughput claim:
         # exact oracle on sampled bodies of the post-warmup state (fixed
         # probe depth = warmup * steps; see the snapshot note above).
@@ -137,7 +159,7 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         n_pad = probe_pos.shape[0]
         out["probe_depth_steps"] = steps * max(warmup, 1)
         sub = np.arange(0, n_pad, max(n_pad // 2048, 1))
-        force_fn = make_force_fn(sim.cfg, n=n_pad)
+        force_fn = make_force_fn(rcfg, n=n_pad)
         # Fresh device copies per consumer: force_fn may donate its args.
         approx = np.asarray(force_fn(jnp.asarray(probe_pos),
                                      jnp.asarray(probe_mass)))[sub]
@@ -158,6 +180,22 @@ def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
         out["force_err_p99"] = float(np.percentile(err, 99))
         print(f"bench: force err median {out['force_err_median']:.2e} "
               f"p99 {out['force_err_p99']:.2e}", file=sys.stderr)
+        return out
+
+    return out, probe
+
+
+def bench_config(n: int, solver: str, steps: int, warmup: int = 1,
+                 probe_error: bool | None = None, windows: int = 3,
+                 chunks: int = 1, **cfg_kw) -> dict:
+    """Time one configuration and run its error probe immediately
+    (single-config mode and tools/tune_small_n.py use this; the suite
+    uses :func:`time_config` to defer probes past the timing flushes)."""
+    out, probe = time_config(n, solver, steps, warmup=warmup,
+                             probe_error=probe_error, windows=windows,
+                             chunks=chunks, **cfg_kw)
+    if probe is not None:
+        probe()
     return out
 
 
@@ -231,15 +269,39 @@ def main() -> None:
     # wedges at the largest sizes), runs SUSTAINED windows (hundreds of
     # steps through run(): every rebuild, resort and capacity-drift
     # effect inside the timed window, compile excluded by a same-length
-    # warmup; a >=256-step window self-averages the relay's ~20-90 ms
+    # warmup; a >=128-step window self-averages the relay's ~20-90 ms
     # dispatch jitter so one timed window suffices), and is chunked into
     # <= ~25 s device programs (the relay kills programs much past
-    # ~60 s — see bench_config). Cheapest legs first so a driver budget
-    # expiring mid-suite has already captured them; the cumulative JSON
-    # line re-printed after every leg makes any prefix a usable record.
+    # ~60 s — see time_config).
+    #
+    # Budget shape (VERDICT r4 #1): the driver kill arrives mid-suite,
+    # so the suite is two phases. Phase 1 runs ONLY the timings — the
+    # 524k/1M flagship legs FIRST (the round-5 bar; the 20k vs-4090
+    # headline is already driver-captured in BENCH_r04.json), then
+    # 20k/65k — flushing the cumulative JSON after each, so the
+    # flagship keys land before any probe budget is spent.
+    # Phase 2 replays the deferred error probes (cheapest first) and
+    # re-flushes after each; a kill during phase 2 costs only error
+    # fields, never a timing. Per-leg cost is ~2 remote compiles in
+    # phase 1 (run scan; the probe's force_fn + oracle are phase 2).
+    if args.steps:
+        print("bench: --steps is ignored in suite mode (leg step counts "
+              "are fixed); use --n for single-config mode", file=sys.stderr)
     from n_body_problem_tpu.config import tuned_tree_overrides
 
     legs: list[tuple[str, dict]] = [
+        # FLAGSHIP LEGS FIRST (VERDICT r4 #1: the bar is the 524k/1M keys
+        # landing in the driver-captured record; the 20k headline is
+        # already driver-captured in BENCH_r04.json). 128 timed steps at
+        # ~260 ms/step = ~33 s, one chunk; 16 rebuild cadences inside
+        # the window, enough to self-average the relay jitter.
+        ("sustained_524k", dict(n=524288, solver="treecode", steps=128,
+                                chunks=1, windows=1)),
+        # 48-step chunks at 1M: ~470 ms/step means 64-step chunks
+        # (~30 s) graze the relay's ~60 s program kill; 48 (~23 s) is
+        # the measured-safe size (2026-08-18: 467.9 ms/step sustained).
+        ("sustained_1m", dict(n=1048576, solver="treecode", steps=48,
+                              chunks=2, windows=1)),
         # The reference's own workload (kernel.cu:73: 1.6 ms/step on the
         # 4090 at N=20,225 = padded 20,480 — the only number it ever
         # published), with the measured small-N tuned config
@@ -251,28 +313,27 @@ def main() -> None:
         ("sustained_20k", dict(n=20480, solver="treecode", steps=1024,
                                chunks=1, windows=1,
                                **tuned_tree_overrides(20480))),
-        ("20k", dict(n=20480, solver="treecode", steps=256, windows=2,
-                     **tuned_tree_overrides(20480))),
         ("sustained_65k", dict(n=65536, solver="treecode", steps=512,
-                               chunks=2, windows=1)),
-        ("sustained_524k", dict(n=524288, solver="treecode", steps=128,
-                                chunks=4, windows=1)),
-        # 48-step chunks at 1M: ~470 ms/step means 64-step chunks
-        # (~30 s) graze the relay's ~60 s program kill; 48 (~23 s) is
-        # the measured-safe size (2026-08-18: 467.9 ms/step sustained).
-        ("sustained_1m", dict(n=1048576, solver="treecode", steps=48,
-                              chunks=5, windows=1)),
+                               chunks=1, windows=1)),
     ]
     if args.full:
         legs += [
             ("sustained_262k", dict(n=262144, solver="treecode", steps=256,
                                     chunks=2, windows=1)),
+            # Windowed variants: short 256-step windows pay
+            # proportionally more rebuild/dispatch overhead than the
+            # sustained legs (measured 0.88x vs 1.04x at 20k, r4) —
+            # secondary evidence, not headline material.
+            ("20k", dict(n=20480, solver="treecode", steps=256, windows=2,
+                         **tuned_tree_overrides(20480))),
             ("524k", dict(n=524288, solver="treecode", steps=32)),
             ("262k", dict(n=262144, solver="treecode", steps=32)),
             ("65k", dict(n=65536, solver="treecode", steps=128)),
             ("1m", dict(n=1048576, solver="treecode", steps=16)),
             # Crossover-bracket legs (BASELINE.md): tuned configs at the
-            # first sizes past the reference's own workload.
+            # first sizes past the reference's own workload, matched
+            # error class (default tau; the r4 sweep measured 1.044x at
+            # 24,576 / p99 6.5e-4 and 1.28x at 32,768).
             ("24k", dict(n=24576, solver="treecode", steps=256,
                          **tuned_tree_overrides(24576))),
             ("32k", dict(n=32768, solver="treecode", steps=256,
@@ -335,11 +396,23 @@ def main() -> None:
             print(f"bench: leg failed: {e!r}", file=sys.stderr)
             return None
 
+    # Phase 1: timings only, flushing after each leg.
     total = len(legs)
+    probes: list[tuple[int, callable]] = []
     for tag, kw in legs:
-        r = safe(bench_config, **kw)
+        r = safe(time_config, **kw)
         if r is not None:
-            done[tag] = r
+            rec, probe = r
+            done[tag] = rec
+            if probe is not None:
+                probes.append((kw["n"], probe))
+            snapshot(total)
+
+    # Phase 2: deferred error probes, cheapest first (each is ~2 remote
+    # compiles; a kill here costs only force_err_* fields). The probe
+    # mutates its leg's record in place, so re-snapshotting publishes it.
+    for _, probe in sorted(probes, key=lambda p: p[0]):
+        if safe(probe) is not None:
             snapshot(total)
 
     exact20 = exact65 = ms_render = None

@@ -83,6 +83,18 @@ def make_staged_flat_force(cfg: SimConfig, mesh: Mesh,
         n_l = xl.shape[0]
         k_t_l = n_l // tile
         k_s_l = n_l // src
+        if k_s_l < entries:
+            # Mirror _flat_src_static's guard at the per-shard count:
+            # with fewer source tiles than chunk entries, max_near clamps
+            # below one chunk and _compact_open_lists emits ZERO chunks
+            # per row — the near field (including the forced-open self
+            # tile) would silently fall into the far field as a
+            # self-multipole at d~0. Fail loudly instead.
+            raise ValueError(
+                f"staged streaming needs per-shard K_src >= entries: "
+                f"N/D={n_l} gives {k_s_l} source tiles of {src} < "
+                f"{entries} chunk entries (CHUNK_LANES={CHUNK_LANES}); "
+                f"use fewer devices, more bodies, or a larger src_tile")
         f32 = jnp.float32
         xl, yl, zl, ml = (a.astype(f32) for a in (xl, yl, zl, ml))
 

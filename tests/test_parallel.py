@@ -239,13 +239,17 @@ def test_sharded_treecode_leapfrog_and_energy(mesh):
     assert d["overspeed"] == 0
 
 
-@pytest.mark.slow
 def test_sharded_flat_treecode_matches_single_chip(mesh):
     """The sharded FLAT (mean-bound columnar) treecode — per-chip
     compacted work lists, replicated sources, multi-operand-sort global
     resort — must reproduce the single-chip flat run: identical sort,
     identical per-row acceptance (the compaction is row-local), psum'd
-    VIP reactions. Agreement to kernel rounding."""
+    VIP reactions. Agreement to kernel rounding.
+
+    Deliberately UNMARKED (ADVICE r4): the default suite must exercise
+    at least one sharded-treecode==single-chip equality path, since the
+    VIP merge and far-kernel selection changes land here first
+    (measured ~62 s on the 8-fake-device CPU mesh)."""
     from n_body_problem_tpu.parallel.sharded import ShardedSimulation
 
     n = 4096

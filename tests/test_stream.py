@@ -97,3 +97,18 @@ def test_staged_rejects_vip(mesh):
                     tree_tile=128, tree_max_near=64, tree_flat_cap=4096)
     with pytest.raises(ValueError):
         make_staged_flat_force(cfg, mesh)
+
+
+def test_staged_rejects_undersized_shard(mesh):
+    """ADVICE r4 (medium): with fewer per-shard source tiles than chunk
+    entries, _compact_open_lists would emit ZERO near chunks per row and
+    the self tile would silently fall into the far field as a
+    self-multipole at d~0 — the guard must fail loudly at trace time."""
+    n = 8192  # N/D = 1024 -> 16 source tiles of 64 < 32 entries
+    st = _sorted_state(n, seed=13)
+    cfg = SimConfig(solver="treecode", tree_tile=32, tree_src_tile=64,
+                    tree_theta=0.55, tree_max_near=64, tree_vip_tiles=0,
+                    tree_near_slack=0, tree_flat_cap=4096, tree_hier=False)
+    force = make_staged_flat_force(cfg, mesh)
+    with pytest.raises(ValueError, match="K_src >= entries"):
+        jax.jit(force)(st.pos, st.mass)
