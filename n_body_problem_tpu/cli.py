@@ -314,10 +314,14 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--devices", type=int, default=1,
                    help="shard bodies over a ring mesh of this many devices")
     r.add_argument("--strategy", default="ring",
-                   choices=["ring", "half_ring", "treecode"],
+                   choices=["ring", "half_ring", "treecode",
+                            "treecode_staged"],
                    help="distributed force strategy (with --devices > 1): "
                         "exact ppermute ring, Newton's-3rd-law half ring, "
-                        "or the sharded Barnes-Hut treecode")
+                        "the sharded Barnes-Hut treecode (replicated "
+                        "sources — the throughput path), or the "
+                        "ring-streamed staged treecode (O(N/D) resident "
+                        "sources — the capacity path)")
     r.set_defaults(fn=cmd_run)
 
     i = sub.add_parser("info", help="environment, datasets, solvers")

@@ -219,6 +219,24 @@ def _vip_split(xc, yc, zc, mass, tile: int, vip_tiles: int):
 
 
 # -------------------------------------------------------------- acceptance
+def _monopole_acc_mags(xs, ys, zs, com, m_tot, *, eps2, c2):
+    """(S,) per-G acceleration magnitudes of the given sample bodies,
+    estimated from monopole tile summaries (the raw ingredient of the MAC
+    normalization scale; the staged multi-chip path gathers per-shard
+    magnitudes and medians the SAME global vector on every chip)."""
+    c3 = c2 * math.sqrt(c2)
+    dx = com[:, 0][None, :] - xs[:, None]               # (S, K)
+    dy = com[:, 1][None, :] - ys[:, None]
+    dz = com[:, 2][None, :] - zs[:, None]
+    r2 = dx * dx + dy * dy + dz * dz
+    u2 = 1.0 / (c2 * r2 + eps2)
+    w = m_tot[None, :] * u2 * jnp.sqrt(u2) * c3
+    ax = jnp.sum(w * dx, axis=1)
+    ay = jnp.sum(w * dy, axis=1)
+    az = jnp.sum(w * dz, axis=1)
+    return jnp.sqrt(ax * ax + ay * ay + az * az)
+
+
 def _median_monopole_acc(xc, yc, zc, com, m_tot, *, eps2, c2):
     """Median per-G acceleration magnitude of a body sample, estimated
     from monopole tile summaries: the MAC normalization scale.
@@ -230,18 +248,8 @@ def _median_monopole_acc(xc, yc, zc, com, m_tot, *, eps2, c2):
     """
     n = xc.shape[0]
     step = max(n // 2048, 1)
-    xs, ys, zs = xc[::step], yc[::step], zc[::step]
-    c3 = c2 * math.sqrt(c2)
-    dx = com[:, 0][None, :] - xs[:, None]               # (S, K)
-    dy = com[:, 1][None, :] - ys[:, None]
-    dz = com[:, 2][None, :] - zs[:, None]
-    r2 = dx * dx + dy * dy + dz * dz
-    u2 = 1.0 / (c2 * r2 + eps2)
-    w = m_tot[None, :] * u2 * jnp.sqrt(u2) * c3
-    ax = jnp.sum(w * dx, axis=1)
-    ay = jnp.sum(w * dy, axis=1)
-    az = jnp.sum(w * dz, axis=1)
-    return jnp.median(jnp.sqrt(ax * ax + ay * ay + az * az))
+    return jnp.median(_monopole_acc_mags(
+        xc[::step], yc[::step], zc[::step], com, m_tot, eps2=eps2, c2=c2))
 
 
 def _opening_scores(xc, yc, zc, com, radius, m_tot, tile: int, *,
@@ -1841,12 +1849,37 @@ def _level_summaries(xc, yc, zc, mass, src_tile: int, plan, branch: int):
     dz = z - cz[:, None]
     r2 = dx * dx + dy * dy + dz * dz
     radius = jnp.sqrt(jnp.max(jnp.where(m > 0, r2, 0.0), axis=1))
-    levels = [finish(
+    level0 = finish(
         m_tot, cx, cy, cz, radius,
         jnp.sum(m * dx * dx, axis=1), jnp.sum(m * dy * dy, axis=1),
         jnp.sum(m * dz * dz, axis=1), jnp.sum(m * dx * dy, axis=1),
-        jnp.sum(m * dx * dz, axis=1), jnp.sum(m * dy * dz, axis=1))]
+        jnp.sum(m * dx * dz, axis=1), jnp.sum(m * dy * dz, axis=1))
+    return _merge_levels(level0, plan, branch)
 
+
+def _level0_from_summaries(com, m_tot, radius, quad):
+    """Level-0 tuple (see :func:`_level_summaries`) from per-tile
+    summaries as returned by :func:`tile_summaries_cols` — the staged
+    multi-chip path builds level 0 per shard, all_gathers these four
+    summary arrays (~44 B per src tile), and merges the coarser levels
+    from them with :func:`_merge_levels`; positions never replicate."""
+    qxx, qyy, qzz, qxy, qxz, qyz = (quad[:, i] for i in range(6))
+    rms2 = (qxx + qyy + qzz) / jnp.maximum(m_tot, _TINY)
+    return (com[:, 0], com[:, 1], com[:, 2], m_tot, radius, rms2,
+            (qxx, qyy, qzz, qxy, qxz, qyz))
+
+
+def _merge_levels(level0, plan, branch: int):
+    """Branch-``branch`` upward merges of the level tuples (exact com and
+    quad via the parallel-axis theorem, conservative radius) — shared by
+    the position-based and the summaries-based level-0 constructions so
+    both paths produce identical hierarchies."""
+    def finish(m_tot, cx, cy, cz, radius, qxx, qyy, qzz, qxy, qxz, qyz):
+        rms2 = (qxx + qyy + qzz) / jnp.maximum(m_tot, _TINY)
+        return (cx, cy, cz, m_tot, radius, rms2,
+                (qxx, qyy, qzz, qxy, qxz, qyz))
+
+    levels = [level0]
     for k in plan[1:]:
         cx, cy, cz, m_tot, radius, _, q = levels[-1]
         qxx, qyy, qzz, qxy, qxz, qyz = q

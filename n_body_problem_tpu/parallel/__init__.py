@@ -6,6 +6,10 @@ from n_body_problem_tpu.parallel.ring import (
     shard_state,
 )
 from n_body_problem_tpu.parallel.sharded import ShardedSimulation
+from n_body_problem_tpu.parallel.stream import (
+    make_staged_force,
+    make_staged_run,
+)
 from n_body_problem_tpu.parallel.tree import (
     make_sharded_treecode_force,
     make_sharded_treecode_run,
@@ -20,4 +24,6 @@ __all__ = [
     "ShardedSimulation",
     "make_sharded_treecode_force",
     "make_sharded_treecode_run",
+    "make_staged_force",
+    "make_staged_run",
 ]

@@ -48,12 +48,13 @@ class ShardedSimulation:
             )
 
             hier_flat = (
-                strategy == "treecode"
+                strategy in ("treecode", "treecode_staged")
                 and cfg.tree_hier
                 and state.n >= max(_CL, _FE * cfg.tree_src_tile)
                 and (
                     (cfg.tree_flat_cap == 0
-                     and jax.default_backend() == "tpu")
+                     and (jax.default_backend() == "tpu"
+                          or strategy == "treecode_staged"))
                     or (cfg.tree_flat_cap > 0 and cfg.tree_far_cap > 0)
                 )
             )
@@ -62,8 +63,9 @@ class ShardedSimulation:
         self.mesh = mesh if mesh is not None else make_ring_mesh()
         self.strategy = strategy
         n_dev = self.mesh.devices.size
-        if strategy == "treecode":
-            self._init_treecode(cfg, state, axis_name)
+        if strategy in ("treecode", "treecode_staged"):
+            self._init_treecode(cfg, state, axis_name,
+                                staged=strategy == "treecode_staged")
             return
         if cfg.morton_sort:
             import numpy as _np
@@ -117,10 +119,15 @@ class ShardedSimulation:
         self.wall_seconds = 0.0
 
     def _init_treecode(self, cfg: SimConfig, state: SimState,
-                       axis_name: str) -> None:
-        """Distributed Barnes-Hut (parallel/tree.py): bodies globally
-        Morton-sorted, each chip owns a contiguous tile range; auto-tunes
-        the static near capacity exactly like the single-chip path."""
+                       axis_name: str, staged: bool = False) -> None:
+        """Distributed Barnes-Hut: bodies globally Morton-sorted, each
+        chip owns a contiguous tile range; auto-tunes the static near
+        capacity exactly like the single-chip path.
+
+        ``staged=False``: replicated sources (parallel/tree.py — the
+        throughput path). ``staged=True``: ring-streamed source panels +
+        replicated summaries (parallel/stream.py — the capacity path;
+        same planners, the flat-list machinery is mandatory)."""
         import math as _math
 
         import numpy as _np
@@ -155,13 +162,22 @@ class ShardedSimulation:
                 tree_vip_tiles=resolve_vip_tiles(-1, state.n))
         # Flat (mean-bound columnar) path: the TPU production
         # configuration, mirroring Simulation.__init__'s auto-enable.
+        # The staged strategy is BUILT on the flat machinery (per-shard
+        # compacted work lists feed the ring stages), so it auto-plans
+        # on any backend.
         use_flat = (
             cfg.tree_flat_cap == 0
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or staged)
             and state.n >= CHUNK_LANES
             and state.n % cfg.tree_src_tile == 0
             and (state.n // cfg.tree_tile) % n_dev == 0
         )
+        if staged and not use_flat and cfg.tree_flat_cap <= 0:
+            raise ValueError(
+                "treecode_staged needs the flat-list machinery: N must "
+                f"be >= {CHUNK_LANES}, a multiple of src_tile="
+                f"{cfg.tree_src_tile}, with K_t divisible by "
+                f"n_dev={n_dev} (or pass an explicit tree_flat_cap)")
         src = (cfg.tree_src_tile
                if use_flat or cfg.tree_flat_cap > 0 else None)
         use_hier = (
@@ -208,17 +224,31 @@ class ShardedSimulation:
         self.state = shard_state(state, self.mesh)
         self.sort_perm = init_perm
         if cfg.integrator == "leapfrog":
-            force = make_sharded_treecode_force(cfg, self.mesh, axis_name)
-            acc = jax.jit(force)(
-                self.state.pos, self.state.mass,
-                jnp.asarray(state.n_real, jnp.int32),
-            )
+            if staged:
+                from n_body_problem_tpu.parallel.stream import (
+                    make_staged_force,
+                )
+
+                acc = jax.jit(make_staged_force(cfg, self.mesh, axis_name))(
+                    self.state.pos, self.state.mass)
+            else:
+                force = make_sharded_treecode_force(cfg, self.mesh,
+                                                    axis_name)
+                acc = jax.jit(force)(
+                    self.state.pos, self.state.mass,
+                    jnp.asarray(state.n_real, jnp.int32),
+                )
             self.state = SimState(
                 pos=self.state.pos, vel=self.state.vel, mass=self.state.mass,
                 eps=self.state.eps, acc=acc, time=self.state.time,
                 step=self.state.step, n_real=self.state.n_real,
             )
-        run = make_sharded_treecode_run(cfg, self.mesh, axis_name)
+        if staged:
+            from n_body_problem_tpu.parallel.stream import make_staged_run
+
+            run = make_staged_run(cfg, self.mesh, axis_name)
+        else:
+            run = make_sharded_treecode_run(cfg, self.mesh, axis_name)
         donate = (0,) if cfg.donate else ()
         self._jit_tree_run = jax.jit(run, static_argnums=(1,),
                                      donate_argnums=donate)
@@ -228,7 +258,7 @@ class ShardedSimulation:
 
     def run(self, n_steps: int) -> SimState:
         t0 = _time.perf_counter()
-        if self.strategy == "treecode":
+        if self.strategy in ("treecode", "treecode_staged"):
             import numpy as _np
 
             self.state, ids = self._jit_tree_run(self.state, n_steps)
