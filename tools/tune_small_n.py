@@ -90,18 +90,22 @@ def main() -> None:
                          "poison the remaining legs' client")
     ap.add_argument("--n", type=int, default=0,
                     help="crossover mode: run this single N only")
+    ap.add_argument("--sweep-n", type=int, default=SWEEP_N,
+                    help="sweep mode: body count (the same knob legs "
+                         "apply at any N; round-5 mid-N sweeps run them "
+                         "at 65,536+)")
     args = ap.parse_args()
 
     if args.mode == "sweep":
         picked = ([s for s in SWEEP if s[0] in args.legs.split(",")]
                   if args.legs else SWEEP)
-        results = [leg(name, SWEEP_N, args.steps, **kw)
+        results = [leg(name, args.sweep_n, args.steps, **kw)
                    for name, kw in picked]
         done = [r for r in results if r]
         if done:
             best = min(done, key=lambda r: r["ms_per_step"])
             print(json.dumps({
-                "summary": "sweep", "n": SWEEP_N,
+                "summary": "sweep", "n": args.sweep_n,
                 "best_leg": best["leg"],
                 "best_ms_per_step": best["ms_per_step"],
                 "best_vs_baseline": best["vs_baseline"],
