@@ -121,10 +121,11 @@ def main() -> None:
         }
         records[path] = rec
         print(json.dumps({path: rec}), flush=True)
-
-    out = pathlib.Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(records, indent=2) + "\n")
+        # Flush after EVERY path: a kill mid-hier must not lose the
+        # finished flat record (the round-4 run died exactly this way).
+        out = pathlib.Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(records, indent=2) + "\n")
     for path, rec in records.items():
         assert rec["passes"], f"{path}: sharded != single-chip beyond tolerance"
 
