@@ -80,7 +80,13 @@ def main() -> None:
     }
     mesh = make_ring_mesh(args.devices)
 
-    records: dict[str, dict] = {}
+    # Merge with an existing artifact so a single-path rerun (e.g.
+    # --paths hier after a kill mid-hier) cannot clobber the other
+    # path's finished record.
+    out = pathlib.Path(args.out)
+    records: dict[str, dict] = (
+        json.loads(out.read_text()) if out.exists() else {}
+    )
     for path in args.paths.split(","):
         cfg = configs[path]
         t0 = time.time()
@@ -123,7 +129,6 @@ def main() -> None:
         print(json.dumps({path: rec}), flush=True)
         # Flush after EVERY path: a kill mid-hier must not lose the
         # finished flat record (the round-4 run died exactly this way).
-        out = pathlib.Path(args.out)
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(records, indent=2) + "\n")
     for path, rec in records.items():
